@@ -1,0 +1,288 @@
+"""GameDef: the per-game behavior contract, plus the BasicAbstractGame-level
+step/reset bodies shared by all games.
+
+A GameDef is the TPU-native equivalent of a ``BasicAbstractGame`` subclass:
+static configuration (ctor constants) as class attributes, virtual methods as
+pure per-env functions ``(cfg, state, ...) -> state``.  One program is
+compiled per (game, config); there is no dynamic dispatch inside jit.
+
+Ordering contract note: the reference's collision dispatch
+(basic-abstract-game.cpp:719-741) interleaves agent/pair/grid handlers per
+entity in reverse slot order.  The engine runs them as three vectorized
+phases (all agent collisions, all pair collisions, grid collisions); this is
+equivalent whenever handlers of different kinds don't observe each other's
+side effects within one step, which holds for the currently ported games and
+is re-audited per game.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from procgen_tpu import objects as O
+from procgen_tpu import rng as R
+from procgen_tpu.engine import entity_ops as eo
+from procgen_tpu.engine import physics as ph
+from procgen_tpu.state import (
+    F32,
+    I32,
+    EnvState,
+    default_entity_fields,
+    empty_entity_table,
+)
+
+MAXVTHETA = F32(15 * 3.141592653589793 / 180)  # bag.cpp:6 (float const)
+MIXRATEROT = F32(0.5)  # bag.cpp:7
+
+
+class GameDef:
+    """Base per-game definition with BasicAbstractGame defaults
+    (ctor values: basic-abstract-game.cpp:22-46, game.cpp:25-37)."""
+
+    name: str = "?"
+
+    # Game-level constants
+    timeout: int = 1000
+    default_action: int = 4  # bag.cpp:38
+
+    # Static capacities (compile-time shapes)
+    world_w_max: int = 64
+    world_h_max: int = 64
+    max_entities: int = 16
+    max_substeps: int = 12
+
+    # Physics feature gates (trace only what the game can use)
+    agent_only_smart: bool = True
+    uses_entity_reflect: bool = False
+    uses_entity_block: bool = False
+    uses_entity_push: bool = False
+    uses_pair_collisions: bool = False
+
+    # BasicAbstractGame ctor values
+    char_dim: float = 5.0
+    visibility: float = 16.0
+    min_visibility: float = 0.0
+    mixrate: float = 0.5
+    maxspeed: float = 0.5
+    max_jump: float = 0.5  # == maxspeed unless overridden
+    random_agent_start: bool = True
+    has_useful_vel_info: bool = True
+    out_of_bounds_object: int = O.INVALID_OBJ
+    bg_tile_ratio: float = 0.0
+
+    # Asset/rendering statics (filled in by the render module per game)
+    num_backgrounds: int = 1
+
+    # ---- per-game state extras ----
+    def init_extra(self, cfg) -> dict:
+        return {}
+
+    # ---- virtuals (bag.h:34-55) ----
+    def choose_world_dim(self, cfg, state: EnvState) -> EnvState:
+        return state
+
+    def game_reset(self, cfg, state: EnvState) -> EnvState:
+        return base_game_reset(self, cfg, state)
+
+    def game_step(self, cfg, state: EnvState) -> EnvState:
+        return base_game_step(self, cfg, state)
+
+    def set_action_xy(self, cfg, state, move_action):
+        """bag.cpp:658-662; returns (action_vx, action_vy, action_vrot)."""
+        avx = (move_action // 3 - 1).astype(F32)
+        avy = (move_action % 3 - 1).astype(F32)
+        return avx, avy, F32(0.0)
+
+    def update_agent_velocity(self, cfg, state: EnvState) -> EnvState:
+        """bag.cpp:669-679 (+ decay_agent_velocity :681-684)."""
+        from procgen_tpu.fmath import dmul
+
+        ents = state.ents
+        v_scale = self.get_agent_acceleration_scale(cfg, state)
+        mix = state.mixrate
+        vx = (1 - mix) * ents.vx[eo.AGENT]
+        vy = (1 - mix) * ents.vy[eo.AGENT]
+        vx = vx + mix * state.maxspeed * state.action_vx * v_scale
+        vy = vy + mix * state.maxspeed * state.action_vy * v_scale
+        vx = dmul(cfg, vx, 0.9)
+        vy = dmul(cfg, vy, 0.9)
+        return state.replace(ents=eo.write_slot(ents, eo.AGENT, vx=vx, vy=vy))
+
+    def get_agent_acceleration_scale(self, cfg, state):
+        return F32(1.0)
+
+    def is_blocked(self, cfg, state, src_type, target_type, is_horizontal):
+        """bag.cpp:485-492 (vectorized over target types)."""
+        return jnp.logical_or(
+            target_type == O.WALL_OBJ, target_type == state.out_of_bounds_object
+        )
+
+    def is_blocked_ents(self, cfg, state, src_type, target_type, is_horizontal):
+        return self.is_blocked(cfg, state, src_type, target_type, is_horizontal)
+
+    def will_reflect(self, cfg, state, src_type, target_type):
+        return jnp.asarray(False)
+
+    def handle_agent_collision(self, cfg, state: EnvState, mask) -> EnvState:
+        """mask: bool (E,) -- entities currently overlapping the agent."""
+        return state
+
+    def agent_collision_phase(self, cfg, state: EnvState) -> EnvState:
+        """Agent-collision dispatch (bag.cpp:722-724).  Default: precompute
+        the collision mask once and hand it to handle_agent_collision --
+        exact whenever the handler doesn't mutate the agent's box mid-sweep.
+        Games whose handlers do (e.g. bigfish growth) override this with a
+        sequential reverse sweep."""
+        ents = state.ents
+        mask = eo.entity_vs_all(
+            ents, ents.x[eo.AGENT], ents.y[eo.AGENT], ents.rx[eo.AGENT],
+            ents.ry[eo.AGENT], margin=ents.collision_margin,
+        )
+        mask = mask & ents.alive & (ents.type != O.PLAYER)
+        return self.handle_agent_collision(cfg, state, mask)
+
+    def handle_collision_pairs(self, cfg, state: EnvState, pair_mask) -> EnvState:
+        """pair_mask: bool (E, E); [i, j] == src i collided with target j."""
+        return state
+
+    def handle_grid_collision(self, cfg, state, ent_idx, cell_type, cx, cy, valid):
+        return state
+
+    def choose_center(self, cfg, state):
+        """bag.cpp:664-667: view center when options.center_agent."""
+        return state.ents.x[eo.AGENT], state.ents.y[eo.AGENT]
+
+
+# ---------------------------------------------------------------------------
+# BasicAbstractGame::game_reset (bag.cpp:758-797)
+# ---------------------------------------------------------------------------
+
+
+def base_game_reset(gd: GameDef, cfg, state: EnvState) -> EnvState:
+    state = gd.choose_world_dim(cfg, state)
+
+    mt = state.rng
+    mt, bg_pct_x = R.mt_rand01(mt)
+    mt, background_index = R.mt_randn(mt, gd.num_backgrounds)
+    # use_procgen_background is impossible for supported games/options: every
+    # game overrides load_background_images, and use_generated_assets is
+    # rejected at the env layer (state save requires it off, bag.cpp:1176).
+
+    # entities.clear(); agent spawn (bag.cpp:775-793)
+    a_r = F32(0.4)
+    if gd.random_agent_start:
+        mt, u1 = R.mt_rand01(mt)
+        mt, u2 = R.mt_rand01(mt)
+        ax = u1 * (state.main_width.astype(F32) - 2 * a_r) + a_r
+        ay = u2 * (state.main_height.astype(F32) - 2 * a_r) + a_r
+    else:
+        ax = a_r
+        ay = a_r
+
+    ents = empty_entity_table(gd.max_entities)
+    agent_fields = default_entity_fields(ax, ay, 0.0, 0.0, a_r, a_r, O.PLAYER)
+    agent_fields["smart_step"] = jnp.asarray(True)
+    agent_fields["render_z"] = jnp.asarray(1, I32)
+    ents = eo.write_slot(ents, eo.AGENT, **agent_fields)
+
+    H, W = state.grid.shape
+    grid = jnp.full((H, W), O.SPACE, I32)
+
+    return state.replace(
+        rng=mt,
+        bg_pct_x=bg_pct_x,
+        background_index=background_index,
+        ents=ents,
+        grid=grid,
+    )
+
+
+# ---------------------------------------------------------------------------
+# BasicAbstractGame::game_step (bag.cpp:686-746)
+# ---------------------------------------------------------------------------
+
+
+def base_game_step(gd: GameDef, cfg, state: EnvState) -> EnvState:
+    mt, sri = R.mt_randint(state.rng, 0, 1000000)
+    action = state.action
+    move = action % 9
+    special = jnp.where(action >= 9, action - 8, 0)
+    move = jnp.where(action >= 9, 4, move)
+    last_move = jnp.where(move != 4, move, state.last_move_action)
+    state = state.replace(
+        rng=mt,
+        step_rand_int=sri,
+        move_action=move,
+        special_action=special,
+        last_move_action=last_move,
+        action_vx=F32(0.0),
+        action_vy=F32(0.0),
+        action_vrot=F32(0.0),
+    )
+    avx, avy, avrot = gd.set_action_xy(cfg, state, move)
+    state = state.replace(action_vx=avx, action_vy=avy, action_vrot=avrot)
+
+    # Agent velocity: grid path writes action velocities directly, continuous
+    # path mixes (bag.cpp:707-715).  Only agent (vx, vy, vrot) differ, so
+    # compute both and select scalars.
+    cont_state = gd.update_agent_velocity(cfg, state)
+    cont_vrot = (
+        MIXRATEROT * state.ents.vrot[eo.AGENT] + MIXRATEROT * MAXVTHETA * avrot
+    )
+    gs = state.grid_step
+    new_vx = jnp.where(gs, avx, cont_state.ents.vx[eo.AGENT])
+    new_vy = jnp.where(gs, avy, cont_state.ents.vy[eo.AGENT])
+    new_vrot = jnp.where(gs, state.ents.vrot[eo.AGENT], cont_vrot)
+    state = state.replace(
+        ents=eo.write_slot(state.ents, eo.AGENT, vx=new_vx, vy=new_vy, vrot=new_vrot)
+    )
+
+    state = ph.step_entities(gd, cfg, state)
+
+    # --- collision dispatch (bag.cpp:719-741), phased (see module note) ---
+    state = gd.agent_collision_phase(cfg, state)
+
+    if gd.uses_pair_collisions:
+        ents = state.ents
+        E = ents.capacity
+        dx = jnp.abs(ents.x[:, None] - ents.x[None, :])
+        dy = jnp.abs(ents.y[:, None] - ents.y[None, :])
+        tx = ents.rx[:, None] + ents.rx[None, :] + ents.collision_margin[:, None]
+        ty = ents.ry[:, None] + ents.ry[None, :] + ents.collision_margin[:, None]
+        pair = (dx < tx) & (dy < ty)
+        valid = (
+            ents.collides_with_entities[:, None]
+            & ents.alive[:, None]
+            & ents.alive[None, :]
+            & ~ents.will_erase[:, None]
+            & ~ents.will_erase[None, :]
+            & ~jnp.eye(E, dtype=bool)
+        )
+        state = gd.handle_collision_pairs(cfg, state, pair & valid)
+
+    state = ph.check_grid_collisions(gd, cfg, state, eo.AGENT)
+    if not gd.agent_only_smart:
+        # Other smart entities also receive grid collisions (bag.cpp:738-740).
+        E = state.ents.capacity
+
+        def body(k, st):
+            i = E - 1 - k
+            smart = st.ents.smart_step[i] & st.ents.alive[i] & (i != eo.AGENT)
+            new = ph.check_grid_collisions(gd, cfg, st, i)
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(smart, a, b), new, st
+            )
+
+        state = jax.lax.fori_loop(0, E, body, state)
+
+    # erase + OOB (bag.cpp:743-745)
+    state = state.replace(
+        ents=eo.compact(state.ents, state.main_width, state.main_height)
+    )
+    ents = state.ents
+    agent_oob = eo.is_out_of_bounds(
+        ents.x[eo.AGENT], ents.y[eo.AGENT], ents.rx[eo.AGENT], ents.ry[eo.AGENT],
+        state.main_width, state.main_height,
+    )
+    return state.replace(done=state.done | agent_oob)

@@ -1,0 +1,218 @@
+"""Per-env operations on the SoA entity table.
+
+Exact behavioral counterparts of the entity helpers in
+basic-abstract-game.cpp (spawn/reposition/collision/erase) re-expressed as
+masked vector ops over the fixed ``(E,)`` slot axis.  All functions here are
+single-env (lifted with vmap by the engine); `state` is an EnvState.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from procgen_tpu import objects as O
+from procgen_tpu import rng as R
+from procgen_tpu.state import F32, I32, EntityTable, EnvState, default_entity_fields
+
+AGENT = 0  # agent is always slot 0 (basic-abstract-game.cpp:788-792)
+
+
+def read_field(ents: EntityTable, name: str, i):
+    return getattr(ents, name)[i]
+
+
+def read_slot(ents: EntityTable, i) -> dict:
+    return {name: getattr(ents, name)[i] for name in ents.__dataclass_fields__}
+
+
+def write_slot(ents: EntityTable, i, **updates) -> EntityTable:
+    new = {}
+    for name, val in updates.items():
+        arr = getattr(ents, name)
+        new[name] = arr.at[i].set(jnp.asarray(val, arr.dtype))
+    return ents.replace(**new)
+
+
+def write_slot_masked(ents: EntityTable, i, mask, **updates) -> EntityTable:
+    """Write fields at slot i only where ``mask`` (scalar bool) holds."""
+    new = {}
+    for name, val in updates.items():
+        arr = getattr(ents, name)
+        val = jnp.asarray(val, arr.dtype)
+        new[name] = arr.at[i].set(jnp.where(mask, val, arr[i]))
+    return ents.replace(**new)
+
+
+def append_entity(ents: EntityTable, fields: dict, active=True):
+    """push_back: append at slot ``count``; returns (ents, idx).
+
+    If the table is full the append is dropped (size MAX_ENT per game must be
+    chosen so this cannot happen in-distribution; an overflow is detectable as
+    count == capacity).
+    """
+    idx = jnp.sum(ents.alive.astype(I32))
+    ok = jnp.logical_and(jnp.asarray(active), idx < ents.capacity)
+    slot = jnp.minimum(idx, ents.capacity - 1)
+    ents = write_slot_masked(ents, slot, ok, **fields)
+    return ents, slot
+
+
+def make_entity(x, y, vx, vy, rx, ry, type_) -> dict:
+    return default_entity_fields(x, y, vx, vy, rx, ry, type_)
+
+
+def entity_vs_all(ents: EntityTable, x, y, rx, ry, margin=0.0):
+    """AABB overlap of one box vs every slot (has_collision, bag.cpp:1145-1150)."""
+    tx = (rx + ents.rx) + jnp.asarray(margin, F32)
+    ty = (ry + ents.ry) + jnp.asarray(margin, F32)
+    return jnp.logical_and(
+        jnp.abs(x - ents.x) < tx, jnp.abs(y - ents.y) < ty
+    )
+
+
+def has_collision_pair(ents: EntityTable, i, j, margin) -> jax.Array:
+    tx = ents.rx[i] + ents.rx[j] + margin
+    ty = ents.ry[i] + ents.ry[j] + margin
+    return jnp.logical_and(
+        jnp.abs(ents.x[i] - ents.x[j]) < tx,
+        jnp.abs(ents.y[i] - ents.y[j]) < ty,
+    )
+
+
+def is_out_of_bounds(x, y, rx, ry, main_width, main_height):
+    """bag.cpp:1068-1084."""
+    w = main_width.astype(F32)
+    h = main_height.astype(F32)
+    return (
+        (x + rx < 0) | (y + ry < 0) | (x - rx > w) | (y - ry > h)
+    )
+
+
+def has_any_collision_mask(
+    ents: EntityTable, x, y, rx, ry, margin=0.0, exclude: Optional[jax.Array] = None
+):
+    """Alive slots (minus ``exclude``) that collide and don't avoid collisions."""
+    coll = entity_vs_all(ents, x, y, rx, ry, margin)
+    mask = jnp.logical_and(ents.alive, ~ents.avoids_collisions)
+    if exclude is not None:
+        mask = jnp.logical_and(mask, jnp.arange(ents.capacity) != exclude)
+    return jnp.logical_and(coll, mask)
+
+
+def has_agent_collision_from(ents: EntityTable, x, y, rx, ry, type_, margin):
+    """has_agent_collision for a candidate box (bag.cpp:1126-1131)."""
+    agent_coll = entity_vs_all(ents, x, y, rx, ry, margin)[AGENT]
+    return jnp.logical_and(type_ != O.PLAYER, agent_coll)
+
+
+def rand_pos(mt: R.MT, r, lo, hi, active=True):
+    """bag.cpp:1100-1108.  NOTE: consumes a draw only when the box is loose
+    (max - min > 2r); the tight case returns the midpoint without touching the
+    stream -- this conditional consumption is part of the RNG contract."""
+    lo = jnp.asarray(lo, F32)
+    hi = jnp.asarray(hi, F32)
+    r = jnp.asarray(r, F32)
+    tight = (hi - lo) <= 2 * r
+    draw_active = jnp.logical_and(jnp.asarray(active), ~tight)
+    mt, u = R.mt_rand01(mt, active=draw_active)
+    loose_val = (hi - lo - 2 * r) * u + r + lo
+    return mt, jnp.where(tight, (hi + lo) / 2, loose_val)
+
+
+def reposition(
+    state: EnvState,
+    rx,
+    ry,
+    type_,
+    collision_margin,
+    x,
+    y,
+    w,
+    h,
+    check_collisions,
+    exclude: Optional[jax.Array] = None,
+):
+    """bag.cpp:541-560: rejection-sample a position (<= 100 retries).
+
+    Returns (state, px, py).  ``exclude`` masks out a slot from the
+    any-collision test (used when repositioning an existing entity).
+    The loop is a bounded fori with per-env active masking so each env
+    consumes exactly as many draws as the reference would.
+    """
+    mt = state.rng
+    ents = state.ents
+
+    def try_place(mt, active):
+        mt, px = rand_pos(mt, rx, x, x + w, active)
+        mt, py = rand_pos(mt, ry, y, y + h, active)
+        return mt, px, py
+
+    mt, px, py = try_place(mt, True)
+
+    def bad(px, py):
+        agent_hit = has_agent_collision_from(ents, px, py, rx, ry, type_, collision_margin)
+        any_hit = jnp.any(
+            has_any_collision_mask(ents, px, py, rx, ry, 0.0, exclude=exclude)
+        )
+        return agent_hit | jnp.logical_and(check_collisions, any_hit)
+
+    def body(_, carry):
+        mt, px, py, active = carry
+        active = jnp.logical_and(active, bad(px, py))
+        mt, nx2 = rand_pos(mt, rx, x, x + w, active)
+        mt, ny2 = rand_pos(mt, ry, y, y + h, active)
+        px = jnp.where(active, nx2, px)
+        py = jnp.where(active, ny2, py)
+        return mt, px, py, active
+
+    mt, px, py, _ = jax.lax.fori_loop(0, 100, body, (mt, px, py, jnp.asarray(True)))
+    return state.replace(rng=mt), px, py
+
+
+def spawn_entity_rxy(
+    state: EnvState, rx, ry, type_, x, y, w, h, check_collisions=True, active=True
+):
+    """bag.cpp:511-519: reposition a fresh entity then push_back."""
+    fields = make_entity(0.0, 0.0, 0.0, 0.0, rx, ry, type_)
+    state, px, py = reposition(
+        state, rx, ry, type_, fields["collision_margin"], x, y, w, h, check_collisions
+    )
+    fields["x"] = px
+    fields["y"] = py
+    ents, idx = append_entity(state.ents, fields, active)
+    return state.replace(ents=ents), idx
+
+
+def add_entity_rxy(state: EnvState, x, y, vx, vy, rx, ry, type_, active=True):
+    fields = make_entity(x, y, vx, vy, rx, ry, type_)
+    ents, idx = append_entity(state.ents, fields, active)
+    return state.replace(ents=ents), idx
+
+
+def compact(ents: EntityTable, main_width, main_height) -> EntityTable:
+    """erase_if_needed (bag.cpp:748-756): drop will_erase / auto-erased OOB
+    slots, stably compacting survivors (matches reverse-order vector::erase)."""
+    oob = is_out_of_bounds(ents.x, ents.y, ents.rx, ents.ry, main_width, main_height)
+    dead = ents.will_erase | (ents.auto_erase & oob)
+    dead = jnp.logical_or(dead, ~ents.alive)
+    E = ents.capacity
+    order = jnp.where(dead, E + jnp.arange(E), jnp.arange(E))
+    perm = jnp.argsort(order)
+
+    def gather(arr):
+        out = arr[perm]
+        return out
+
+    new = jax.tree_util.tree_map(gather, ents)
+    n_alive = jnp.sum((~dead).astype(I32))
+    return new.replace(alive=jnp.arange(E) < n_alive)
+
+
+def find_entity_index(ents: EntityTable, type_) -> jax.Array:
+    """bag.cpp:1133-1143: last matching index, -1 if none."""
+    idxs = jnp.arange(ents.capacity)
+    match = jnp.logical_and(ents.alive, ents.type == type_)
+    return jnp.max(jnp.where(match, idxs, -1))

@@ -1,0 +1,35 @@
+"""Game registry: name -> GameDef factory (reference: game-registry.h)."""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+_REGISTRY: Dict[str, Callable] = {}
+
+
+def register_game(name: str):
+    def deco(factory):
+        _REGISTRY[name] = factory
+        return factory
+
+    return deco
+
+
+def make_game(cfg):
+    """Instantiate the GameDef for cfg.env_name (one instance per config)."""
+    import procgen_tpu.games.maze  # noqa: F401  (import registers)
+    import procgen_tpu.games.bigfish  # noqa: F401
+
+    name = cfg.env_name
+    if name not in _REGISTRY:
+        raise ValueError(
+            f"unknown env_name {name!r}; available: {sorted(_REGISTRY)}"
+        )
+    return _REGISTRY[name](cfg)
+
+
+def available_games():
+    import procgen_tpu.games.maze  # noqa: F401
+    import procgen_tpu.games.bigfish  # noqa: F401
+
+    return sorted(_REGISTRY)

@@ -1,0 +1,185 @@
+"""Asset pipeline: PNG decode -> packed texture atlases (host side, offline).
+
+The reference decodes ~770 PNGs into a QImage cache once per process
+(resources.cpp:13-30).  Here assets are decoded once on host (pure-Python PNG
+reader; no Qt/PIL dependency), packed into per-game uint8 atlases and shipped
+to device HBM as constants.  The asset root defaults to the reference's
+``procgen/data/assets`` tree and can be overridden with
+``PROCGEN_TPU_ASSET_ROOT``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import os
+import struct
+import subprocess
+import zlib
+from pathlib import Path
+
+import numpy as np
+
+_DEFAULT_ROOTS = (
+    "/root/reference/procgen/data/assets",
+)
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+
+
+@functools.lru_cache(maxsize=1)
+def _native_unfilter():
+    """Compile (once) and load the C++ scanline unfilter; None on failure."""
+    src = _NATIVE_DIR / "png_unfilter.cpp"
+    so = _NATIVE_DIR / "build" / "libpng_unfilter.so"
+    try:
+        if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+            so.parent.mkdir(exist_ok=True)
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-o", str(so), str(src)],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(str(so))
+        lib.png_unfilter.restype = ctypes.c_int
+        lib.png_unfilter.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        return lib
+    except Exception:
+        return None
+
+
+def asset_root() -> Path:
+    env = os.environ.get("PROCGEN_TPU_ASSET_ROOT")
+    if env:
+        return Path(env)
+    for cand in _DEFAULT_ROOTS:
+        if Path(cand).is_dir():
+            return Path(cand)
+    raise FileNotFoundError(
+        "no asset root found; set PROCGEN_TPU_ASSET_ROOT to a procgen "
+        "data/assets directory"
+    )
+
+
+@functools.lru_cache(maxsize=4096)
+def png_size(name: str) -> tuple[int, int]:
+    """(width, height) from the IHDR without decoding."""
+    with open(asset_root() / name, "rb") as f:
+        f.read(16)
+        w, h = struct.unpack(">II", f.read(8))
+    return int(w), int(h)
+
+
+def aspect_ratio(name: str) -> float:
+    w, h = png_size(name)
+    return w * 1.0 / h
+
+
+def _paeth(a, b, c):
+    p = a.astype(np.int32) + b - c
+    pa = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+@functools.lru_cache(maxsize=2048)
+def decode_png(name: str) -> np.ndarray:
+    """Decode a PNG to (H, W, 4) uint8 RGBA.  Supports bit-depth 8 color
+    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA)."""
+    data = (asset_root() / name).read_bytes()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", name
+    pos = 8
+    idat = []
+    palette = None
+    trns = None
+    w = h = bit_depth = color_type = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type = struct.unpack(">IIBB", chunk[:10])
+            interlace = chunk[12]
+            assert bit_depth == 8, (name, bit_depth)
+            assert interlace == 0, name
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(chunk, np.uint8)
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+    raw = zlib.decompress(b"".join(idat))
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    stride = w * channels
+    bpp = channels
+    lib = _native_unfilter()
+    if lib is not None:
+        out = np.zeros((h, stride), np.uint8)
+        rc = lib.png_unfilter(
+            raw, out.ctypes.data_as(ctypes.c_void_p), h, stride, bpp
+        )
+        if rc != 0:
+            raise ValueError(f"bad filter byte in {name}")
+    else:
+        rawa = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+        filters = rawa[:, 0]
+        lines = rawa[:, 1:]
+        out = np.zeros((h, stride), np.uint8)
+        for y in range(h):
+            f = filters[y]
+            line = lines[y].copy()
+            prior = out[y - 1] if y > 0 else np.zeros(stride, np.uint8)
+            if f == 0:
+                out[y] = line
+            elif f == 1:
+                acc = line.reshape(-1, bpp).astype(np.int64)
+                out[y] = (np.cumsum(acc, axis=0) & 0xFF).astype(np.uint8).reshape(-1)
+            elif f == 2:
+                out[y] = (line.astype(np.int32) + prior) & 0xFF
+            elif f == 3:
+                for x in range(stride):
+                    left = int(out[y, x - bpp]) if x >= bpp else 0
+                    out[y, x] = (int(line[x]) + ((left + int(prior[x])) >> 1)) & 0xFF
+            elif f == 4:
+                for x in range(stride):
+                    left = np.uint8(out[y, x - bpp]) if x >= bpp else np.uint8(0)
+                    up = prior[x]
+                    ul = (
+                        np.uint8(out[y - 1, x - bpp])
+                        if (x >= bpp and y > 0)
+                        else np.uint8(0)
+                    )
+                    out[y, x] = (int(line[x]) + int(_paeth(left, up, ul))) & 0xFF
+            else:
+                raise ValueError(f"bad filter {f} in {name}")
+    img = out.reshape(h, w, channels)
+    if color_type == 0:
+        rgba = np.dstack([img[..., 0]] * 3 + [np.full((h, w), 255, np.uint8)])
+    elif color_type == 2:
+        rgba = np.dstack([img, np.full((h, w, 1), 255, np.uint8)])
+    elif color_type == 3:
+        idx = img[..., 0]
+        rgb = palette[idx]
+        if trns is not None:
+            alpha_lut = np.full(palette.shape[0], 255, np.uint8)
+            alpha_lut[: len(trns)] = trns
+            a = alpha_lut[idx]
+        else:
+            a = np.full((h, w), 255, np.uint8)
+        rgba = np.dstack([rgb, a])
+    elif color_type == 4:
+        rgba = np.dstack([img[..., 0]] * 3 + [img[..., 1]])
+    else:
+        rgba = img
+    return np.ascontiguousarray(rgba)
