@@ -71,8 +71,32 @@ class GameDef:
     out_of_bounds_object: int = O.INVALID_OBJ
     bg_tile_ratio: float = 0.0
 
-    # Asset/rendering statics (filled in by the render module per game)
-    num_backgrounds: int = 1
+    # ---- rendering declarations ----
+    background_group: str = "topdown_backgrounds"
+
+    @property
+    def num_backgrounds(self) -> int:
+        from procgen_tpu.render import assets
+
+        return len(assets.BACKGROUND_GROUPS[self.background_group])
+
+    def asset_map(self, cfg) -> dict:
+        """type -> theme-ordered sprite paths (asset_for_type equivalent)."""
+        return {}
+
+    def center_agent(self, cfg) -> bool:
+        """Effective options.center_agent (games may force it per mode)."""
+        return cfg.center_agent
+
+    def grid_image_lut(self, cfg):
+        from procgen_tpu.render import pack
+
+        return pack.default_grid_image_lut()
+
+    def grid_theme_lut(self, cfg):
+        from procgen_tpu.render import pack
+
+        return pack.default_grid_theme_lut()
 
     # ---- per-game state extras ----
     def init_extra(self, cfg) -> dict:

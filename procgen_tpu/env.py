@@ -1,0 +1,186 @@
+"""User-facing environment API.
+
+``ProcgenTPUEnv`` mirrors the gym3-style surface of the reference's
+``ProcgenGym3Env`` (env.py:203-246 + gym3.libenv.CEnv semantics): ``observe()``
+-> (rew, {"rgb": obs}, first), ``act(actions)``, ``get_info()``.  Underneath
+it is a thin stateful shell over the pure functional API (``reset_fn`` /
+``step_fn``), which is what TPU-scale training loops should use directly
+(e.g. inside their own ``lax.scan`` rollouts).
+
+Construction-time seeding follows vecgame.cpp:301-314: a master MT19937
+seeded with ``rand_seed`` deals one full-width randint per env to seed that
+env's level_seed_rand_gen.
+"""
+
+from __future__ import annotations
+
+import random as _pyrandom
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from procgen_tpu import rng as R
+from procgen_tpu.config import EnvConfig, DistributionMode
+from procgen_tpu.engine.game import reset_env, step_env
+from procgen_tpu.games import make_game
+from procgen_tpu.render.pack import RenderPack
+from procgen_tpu.render.renderer import render_env, update_view_params
+from procgen_tpu.state import EnvState, init_state_template
+
+DISTRIBUTION_MODE_NAMES = {
+    "easy": DistributionMode.easy,
+    "hard": DistributionMode.hard,
+    "extreme": DistributionMode.extreme,
+    "memory": DistributionMode.memory,
+    "exploration": DistributionMode.exploration,
+}
+
+
+def create_random_seed() -> int:
+    """env.py:54-63 (sans MPI rank offsetting, which multi-host JAX replaces
+    with jax.process_index-unique seeding in parallel/sharding.py)."""
+    return _pyrandom.SystemRandom().randint(0, 2**31 - 1)
+
+
+class ProcgenTPUEnv:
+    """Batched TPU-native procgen env (one game per instance)."""
+
+    def __init__(
+        self,
+        num: int,
+        env_name: str = "coinrun",
+        *,
+        rand_seed: Optional[int] = None,
+        num_levels: int = 0,
+        start_level: int = 0,
+        distribution_mode: str | DistributionMode = "hard",
+        paint_vel_info: bool = False,
+        use_generated_assets: bool = False,
+        use_monochrome_assets: bool = False,
+        restrict_themes: bool = False,
+        use_backgrounds: bool = True,
+        center_agent: bool = False,
+        use_sequential_levels: bool = False,
+        num_threads: int = 4,  # accepted for API parity; no thread pool here
+        render: bool = True,
+        parity_mode: bool = False,
+    ):
+        if isinstance(distribution_mode, str):
+            distribution_mode = DISTRIBUTION_MODE_NAMES[distribution_mode]
+        if use_generated_assets:
+            raise NotImplementedError(
+                "use_generated_assets is not supported (the reference cannot "
+                "serialize state with it either, bag.cpp:1176)"
+            )
+        if rand_seed is None:
+            rand_seed = create_random_seed()
+        cfg = EnvConfig(
+            env_name=env_name,
+            num_envs=num,
+            num_levels=num_levels,
+            start_level=start_level,
+            rand_seed=rand_seed,
+            distribution_mode=distribution_mode,
+            paint_vel_info=paint_vel_info,
+            use_monochrome_assets=use_monochrome_assets,
+            restrict_themes=restrict_themes,
+            use_backgrounds=use_backgrounds,
+            center_agent=center_agent,
+            use_sequential_levels=use_sequential_levels,
+            parity_mode=parity_mode,
+        ).resolve_exploration()
+        self.cfg = cfg
+        self.num = num
+        self.gd = make_game(cfg)
+        self.pack = RenderPack(self.gd, cfg)
+        self._do_render = render
+
+        gd, pack = self.gd, self.pack
+
+        def _reset_one(state):
+            state = reset_env(gd, cfg, state)
+            return update_view_params(gd, cfg, state)
+
+        def _step_one(state, action):
+            state = step_env(gd, cfg, state, action)
+            return update_view_params(gd, cfg, state)
+
+        def _render_one(state):
+            return render_env(gd, cfg, state, pack)
+
+        self._reset_all = jax.jit(jax.vmap(_reset_one))
+        self._step_all = jax.jit(jax.vmap(_step_one))
+        self._render_all = jax.jit(jax.vmap(_render_one))
+
+        self.state = self._initial_state(rand_seed)
+        self.state = self._reset_all(self.state)
+        self._obs = self._render() if render else None
+
+    # ------------------------------------------------------------------
+    # functional API
+    # ------------------------------------------------------------------
+
+    def _initial_state(self, rand_seed: int) -> EnvState:
+        tmpl = init_state_template(self.gd, self.cfg)
+        batched = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (self.num,) + x.shape), tmpl
+        )
+        master = R.HostMT(rand_seed)
+        seeds = jnp.asarray(
+            [master.randint_full() for _ in range(self.num)], jnp.int32
+        )
+        return batched.replace(level_seed_rng=R.mt_seed(seeds))
+
+    def reset_fn(self, state: EnvState) -> EnvState:
+        """Pure batched reset (level generation for every env)."""
+        return self._reset_all(state)
+
+    def step_fn(self, state: EnvState, actions) -> EnvState:
+        """Pure batched step with inline masked auto-reset."""
+        return self._step_all(state, jnp.asarray(actions, jnp.int32))
+
+    def render_fn(self, state: EnvState):
+        return self._render_all(state)
+
+    # ------------------------------------------------------------------
+    # gym3-style stateful API (reference env.py / gym3.libenv.CEnv)
+    # ------------------------------------------------------------------
+
+    def _render(self):
+        return self._render_all(self.state)
+
+    def observe(self):
+        rew = np.asarray(self.state.reward)
+        first = np.asarray(self.state.done)
+        if self._obs is None and self._do_render:
+            self._obs = self._render()
+        ob = {"rgb": np.asarray(self._obs)} if self._do_render else {}
+        return rew, ob, first
+
+    def act(self, ac) -> None:
+        self.state = self._step_all(self.state, jnp.asarray(ac, jnp.int32))
+        self._obs = self._render() if self._do_render else None
+
+    def get_info(self):
+        prev_seed = np.asarray(self.state.prev_level_seed)
+        prev_complete = np.asarray(self.state.level_complete)
+        seed = np.asarray(self.state.current_level_seed)
+        return [
+            {
+                "prev_level_seed": int(prev_seed[i]),
+                "prev_level_complete": int(prev_complete[i]),
+                "level_seed": int(seed[i]),
+            }
+            for i in range(self.num)
+        ]
+
+    @property
+    def ob_space(self):
+        return {"rgb": ("uint8", (64, 64, 3))}
+
+    @property
+    def ac_space(self):
+        return ("discrete", 15)

@@ -28,7 +28,7 @@ class BigFish(GameDef):
     max_entities = 48  # unbounded in reference; ~5-13 concurrent in practice
     world_w_max = 20
     world_h_max = 20
-    num_backgrounds = 7  # water_backgrounds (resources.cpp:920-928)
+    background_group = "water_backgrounds"  # bigfish.cpp:31-33
 
     FISH_ASSETS = (
         "misc_assets/fishTile_074.png",
@@ -42,6 +42,16 @@ class BigFish(GameDef):
         self.fish_aspects = jnp.asarray(
             [assets.aspect_ratio(n) for n in self.FISH_ASSETS], F32
         )
+
+    def asset_map(self, cfg):
+        # bigfish.cpp:35-43
+        return {
+            O.PLAYER: ["misc_assets/fishTile_072.png"],
+            FISH: list(self.FISH_ASSETS),
+        }
+
+    def center_agent(self, cfg):
+        return False  # bigfish.cpp:64
 
     def init_extra(self, cfg):
         return {

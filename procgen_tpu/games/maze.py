@@ -28,7 +28,18 @@ class MazeGame(GameDef):
     max_entities = 2  # agent only (goal is a grid cell)
     max_substeps = 1  # grid_step game: exactly one sub-step
 
-    num_backgrounds = 9  # topdown_backgrounds (resources.cpp:900-911)
+    background_group = "topdown_backgrounds"  # maze.cpp:26-28
+
+    def asset_map(self, cfg):
+        # maze.cpp:30-38
+        return {
+            O.WALL_OBJ: ["kenney/Ground/Sand/sandCenter.png"],
+            GOAL: ["misc_assets/cheese.png"],
+            O.PLAYER: ["kenney/Enemies/mouse_move.png"],
+        }
+
+    def center_agent(self, cfg):
+        return self.force_center_agent
 
     def __init__(self, cfg):
         # maze.cpp:40-53

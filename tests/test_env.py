@@ -1,0 +1,104 @@
+"""Env-level behavior tests (determinism contract mirrors env_test.py)."""
+
+import numpy as np
+import pytest
+
+from procgen_tpu.env import ProcgenTPUEnv
+
+
+def rollout(env, steps, seed=0):
+    rng = np.random.RandomState(seed)
+    obs, rews, firsts = [], [], []
+    for _ in range(steps):
+        env.act(rng.randint(0, 15, size=env.num))
+        rew, ob, first = env.observe()
+        obs.append(ob["rgb"])
+        rews.append(rew.copy())
+        firsts.append(first.copy())
+    return np.stack(obs), np.stack(rews), np.stack(firsts)
+
+
+@pytest.mark.parametrize("env_name", ["maze", "bigfish"])
+def test_determinism(env_name):
+    """env_test.py:33-52: identical rollouts at fixed rand_seed."""
+    kwargs = dict(num=2, env_name=env_name, rand_seed=23, distribution_mode="easy")
+    a = rollout(ProcgenTPUEnv(**kwargs), 32)
+    b = rollout(ProcgenTPUEnv(**kwargs), 32)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_seeding_maze():
+    """env_test.py:7-30: same start_level => same first obs; different =>
+    different."""
+
+    def first_obs(start_level):
+        env = ProcgenTPUEnv(
+            num=1, env_name="maze", rand_seed=5, num_levels=1,
+            start_level=start_level, distribution_mode="easy",
+        )
+        _, ob, _ = env.observe()
+        return ob["rgb"]
+
+    o1 = first_obs(10)
+    o2 = first_obs(10)
+    o3 = first_obs(11)
+    np.testing.assert_array_equal(o1, o2)
+    assert not np.array_equal(o1, o3)
+
+
+def test_maze_agent_never_in_wall():
+    env = ProcgenTPUEnv(num=4, env_name="maze", rand_seed=3, distribution_mode="easy")
+    rng = np.random.RandomState(1)
+    for _ in range(50):
+        env.act(rng.randint(0, 15, size=4))
+        st = env.state
+        gx = np.asarray(st.ents.x[:, 0]).astype(int)
+        gy = np.asarray(st.ents.y[:, 0]).astype(int)
+        grid = np.asarray(st.grid)
+        for i in range(4):
+            assert grid[i, gy[i], gx[i]] != 51, (i, gx[i], gy[i])
+
+
+def test_maze_goal_gives_reward_and_reset():
+    """Drive the agent along a solved path: brute-force greedy exploration
+    until some env scores; check reward 10, first flag, level re-gen."""
+    env = ProcgenTPUEnv(num=8, env_name="maze", rand_seed=11, distribution_mode="easy")
+    rng = np.random.RandomState(0)
+    got_reward = False
+    for _ in range(400):
+        env.act(rng.randint(0, 15, size=8))
+        rew, ob, first = env.observe()
+        if (rew > 0).any():
+            got_reward = True
+            i = int(np.argmax(rew > 0))
+            assert rew[i] == 10.0
+            assert first[i]
+            info = env.get_info()[i]
+            assert info["prev_level_complete"] == 1
+            break
+    assert got_reward, "no maze solved in 400 random steps across 8 envs"
+
+
+def test_bigfish_fish_spawn_and_eat():
+    env = ProcgenTPUEnv(num=8, env_name="bigfish", rand_seed=9, distribution_mode="easy")
+    rng = np.random.RandomState(0)
+    total_rew = 0.0
+    max_alive = 0
+    for _ in range(300):
+        env.act(rng.randint(0, 15, size=8))
+        rew, _, first = env.observe()
+        total_rew += rew.sum()
+        max_alive = max(max_alive, int(np.asarray(env.state.ents.alive).sum(axis=1).max()))
+    assert max_alive > 2, "fish never spawned"
+    # some eating or death should have happened across 2400 env-steps
+    assert total_rew > 0 or np.asarray(env.state.cur_time).max() < 300
+
+
+def test_observation_space():
+    env = ProcgenTPUEnv(num=3, env_name="maze", rand_seed=1, distribution_mode="easy")
+    rew, ob, first = env.observe()
+    assert ob["rgb"].shape == (3, 64, 64, 3)
+    assert ob["rgb"].dtype == np.uint8
+    assert rew.shape == (3,)
+    assert first.all()  # initial observe has first=True (gym3 contract)
