@@ -58,13 +58,10 @@ def reset_env(gd, cfg, state: EnvState) -> EnvState:
     )
 
 
-def step_env(gd, cfg, state: EnvState, action) -> EnvState:
-    """Game::step (game.cpp:120-155) with inline masked auto-reset.
-
-    The returned state's ``reward``/``done`` (episode_done) are the step
-    outputs; when done, the state already holds the next level (the obs
-    rendered from it is the new episode's first frame, as in the reference).
-    """
+def step_env_no_reset(gd, cfg, state: EnvState, action) -> EnvState:
+    """Game::step (game.cpp:120-143) *without* the auto-reset: when done the
+    returned state is the finished episode's final state.  The caller must
+    swap in a new level before the next step (inline reset or level queue)."""
     action = jnp.asarray(action, I32)
     cur_time = state.cur_time + 1
     force = action == -1
@@ -81,22 +78,36 @@ def step_env(gd, cfg, state: EnvState, action) -> EnvState:
 
     done = state.done | force | (cur_time >= state.timeout)
     reward = state.reward
-    state = state.replace(
+    return state.replace(
         done=done,
         last_reward_timer=jnp.where(reward != 0, 10, state.last_reward_timer),
         last_reward=jnp.where(reward != 0, reward, state.last_reward),
         prev_level_seed=state.current_level_seed,
     )
 
-    # Auto-reset (game.cpp:144-146): inline levelgen, masked per env.
-    reset_state = reset_env(gd, cfg, state)
-    state = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(done, a, b), reset_state, state
-    )
 
-    # Sequential-levels chaining hides the done (game.cpp:148-150).
+def finish_step(cfg, state: EnvState) -> EnvState:
+    """Post-reset step epilogue (game.cpp:148-153): sequential-levels
+    chaining hides the done, then episode_done is latched."""
     if cfg.use_sequential_levels:
         state = state.replace(
             done=jnp.where(state.level_complete, False, state.done)
         )
     return state.replace(episode_done=state.done)
+
+
+def step_env(gd, cfg, state: EnvState, action) -> EnvState:
+    """Game::step (game.cpp:120-155) with inline masked auto-reset.
+
+    The returned state's ``reward``/``done`` (episode_done) are the step
+    outputs; when done, the state already holds the next level (the obs
+    rendered from it is the new episode's first frame, as in the reference).
+    """
+    state = step_env_no_reset(gd, cfg, state, action)
+
+    # Auto-reset (game.cpp:144-146): inline levelgen, masked per env.
+    reset_state = reset_env(gd, cfg, state)
+    state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(state.done, a, b), reset_state, state
+    )
+    return finish_step(cfg, state)

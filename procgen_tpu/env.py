@@ -27,7 +27,12 @@ from procgen_tpu.config import EnvConfig, DistributionMode
 from procgen_tpu.engine.game import reset_env, step_env
 from procgen_tpu.games import make_game
 from procgen_tpu.render.pack import RenderPack
-from procgen_tpu.render.renderer import render_env, update_view_params
+from procgen_tpu.render.renderer import (
+    render_env,
+    render_frame,
+    render_static_env,
+    update_view_params,
+)
 from procgen_tpu.state import EnvState, init_state_template
 
 DISTRIBUTION_MODE_NAMES = {
@@ -100,16 +105,26 @@ class ProcgenTPUEnv:
 
         gd, pack = self.gd, self.pack
 
+        def _refresh_static(state, force=False):
+            fresh = render_static_env(gd, cfg, state, pack)
+            if force:
+                return state.replace(static_layer=fresh)
+            return state.replace(
+                static_layer=jnp.where(state.done, fresh, state.static_layer)
+            )
+
         def _reset_one(state):
             state = reset_env(gd, cfg, state)
-            return update_view_params(gd, cfg, state)
+            state = update_view_params(gd, cfg, state)
+            return _refresh_static(state, force=True)
 
         def _step_one(state, action):
             state = step_env(gd, cfg, state, action)
-            return update_view_params(gd, cfg, state)
+            state = update_view_params(gd, cfg, state)
+            return _refresh_static(state)
 
         def _render_one(state):
-            return render_env(gd, cfg, state, pack)
+            return render_frame(gd, cfg, state, pack)
 
         self._reset_all = jax.jit(jax.vmap(_reset_one))
         self._step_all = jax.jit(jax.vmap(_step_one))

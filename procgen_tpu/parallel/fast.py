@@ -1,0 +1,138 @@
+"""High-throughput stepping: pregenerated level queue + compacted refill.
+
+The reference regenerates a level inline whenever an episode ends
+(game.cpp:144-146) -- on TPU that would trace level generation into every
+step and pay it for every env every step.  Instead each env carries one
+pregenerated next-level state ("queue").  A step that finishes an episode
+swaps the queue entry in (exact: level content depends only on the env's
+level_seed_rng, which the queue entry already advanced); the queue is
+refilled for a *compacted bucket* of empty slots, so levelgen cost scales
+with the episode-completion rate, not num_envs.
+
+Exactness: trajectories are bit-identical to the inline path
+(tests/test_fast_path.py) except use_sequential_levels, which needs
+death-time information (seed chaining) and falls back to the inline path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from procgen_tpu.engine.game import (
+    finish_step,
+    reset_env,
+    step_env_no_reset,
+)
+from procgen_tpu.render.renderer import render_static_env, update_view_params
+from procgen_tpu.state import EnvState, tree_select
+
+# step-output fields that must come from the dying step, not the pregen entry
+_KEEP_FIELDS = (
+    "reward",
+    "done",
+    "level_complete",
+    "prev_level_seed",
+    "last_reward",
+    "last_reward_timer",
+)
+
+
+class FastState(NamedTuple):
+    state: EnvState  # live envs, batched
+    queue: EnvState  # one pregenerated next level per env
+    queue_valid: jax.Array  # bool (N,)
+
+
+def make_fast_fns(gd, cfg, pack, refill_bucket: int = 1024):
+    """Returns (init, step) pure functions for the fast path.
+
+    ``pack``: RenderPack; queue pregen renders the level's static layer so
+    per-step frames are entity compositing only."""
+    if cfg.use_sequential_levels:
+        raise ValueError(
+            "use_sequential_levels requires the inline reset path"
+        )
+
+    def _pregen_one(s):
+        s = update_view_params(gd, cfg, reset_env(gd, cfg, s))
+        return s.replace(static_layer=render_static_env(gd, cfg, s, pack))
+
+    pregen = jax.vmap(_pregen_one)
+    view = jax.vmap(lambda s: update_view_params(gd, cfg, s))
+
+    def full_refill(fs: FastState) -> FastState:
+        fresh = pregen(fs.state)
+        queue = tree_select(fs.queue_valid, fs.queue, fresh)
+        return FastState(fs.state, queue, jnp.ones_like(fs.queue_valid))
+
+    def init(state: EnvState) -> FastState:
+        n = state.done.shape[0]
+        # ensure the live state's static layer is rendered (first episodes)
+        state = state.replace(
+            static_layer=jax.vmap(
+                lambda s: render_static_env(gd, cfg, s, pack)
+            )(state)
+        )
+        fs = FastState(state, state, jnp.zeros((n,), jnp.bool_))
+        return full_refill(fs)
+
+    def _compacted_refill(fs: FastState, need) -> FastState:
+        n = fs.queue_valid.shape[0]
+        bucket = min(refill_bucket, n)
+        # refill priority: dying envs with empty queue first, then other
+        # empty queues; top_k tie-breaks by index.
+        score = need.astype(jnp.int32) * 2 + (~fs.queue_valid).astype(jnp.int32)
+        _, idx = jax.lax.top_k(score, bucket)
+        sub = jax.tree_util.tree_map(lambda a: a[idx], fs.state)
+        fresh = pregen(sub)
+        fill = ~fs.queue_valid[idx]  # only write slots that were empty
+
+        def scatter(qa, fa):
+            upd = jnp.where(
+                fill.reshape(fill.shape + (1,) * (fa.ndim - 1)), fa, qa[idx]
+            )
+            return qa.at[idx].set(upd)
+
+        queue = jax.tree_util.tree_map(scatter, fs.queue, fresh)
+        valid = fs.queue_valid.at[idx].set(True)
+        return FastState(fs.state, queue, valid)
+
+    def refill_if_needed(fs: FastState, need) -> FastState:
+        n = fs.queue_valid.shape[0]
+        bucket = min(refill_bucket, n)
+
+        def do_refill(f):
+            # if more envs need a level than the bucket holds (mass
+            # simultaneous deaths, e.g. synchronized timeouts), refill
+            # every empty queue instead of a bucket
+            return jax.lax.cond(
+                jnp.sum(need.astype(jnp.int32)) > bucket,
+                full_refill,
+                lambda g: _compacted_refill(g, need),
+                f,
+            )
+
+        return jax.lax.cond(jnp.any(need), do_refill, lambda f: f, fs)
+
+    def step(fs: FastState, actions) -> FastState:
+        stepped = jax.vmap(
+            lambda s, a: step_env_no_reset(gd, cfg, s, a)
+        )(fs.state, jnp.asarray(actions, jnp.int32))
+        need = stepped.done & ~fs.queue_valid
+        fs = refill_if_needed(FastState(stepped, fs.queue, fs.queue_valid), need)
+
+        # swap in pregen levels for finished episodes, preserving the dying
+        # step's outputs
+        merged_queue = fs.queue.replace(
+            **{f: getattr(stepped, f) for f in _KEEP_FIELDS}
+        )
+        state = tree_select(stepped.done, merged_queue, stepped)
+        state = finish_step(cfg, state)
+        state = view(state)
+        valid = fs.queue_valid & ~stepped.done
+        return FastState(state, fs.queue, valid)
+
+    return init, step

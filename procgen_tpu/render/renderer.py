@@ -1,15 +1,26 @@
-"""Pure-JAX compositing renderer producing (64, 64, 3) uint8 observations.
+"""Renderer: (64, 64, 3) uint8 observations, designed for TPU.
 
-Per-pixel *gather* formulation of the reference's QPainter raster
-(bag.cpp:819-1012): instead of forward-painting rects, every output pixel
-computes its world coordinate, resolves the winning grid cell (draw order =
-x-major ascending, so at the RENDER_EPS overlaps the higher cell wins:
-``floor(w + eps)``), samples the sprite atlas nearest-neighbor, and entities
-composite source-over in reference draw order (render_z -1/0/1 passes, slot
-ascending within a pass, bag.cpp:1060-1066).
+Two-tier design (the key deviation from the reference's per-frame QPainter
+raster, game.cpp:77-91):
 
-Written per env and vmapped.  A Pallas tile kernel is the planned follow-up
-for the entity loop; this version is compiler-fused gathers.
+1. ``render_static_env`` -- background + grid tiles, rendered once per
+   *level* (at levelgen/queue-pregen time) and cached in
+   ``EnvState.static_layer``.  This is the gather-heavy pass; amortized over
+   the episode it is nearly free.
+2. ``render_frame`` -- per step: entities composited over the cached layer
+   using one-hot selection matmuls (MXU work, no per-pixel gathers; for an
+   axis-aligned sprite, nearest sampling is separable, so
+   ``OHy @ tex @ OHx`` picks exactly the same texels a gather would --
+   bit-identical, since each output pixel receives exactly one product).
+
+``render_env`` is the direct single-pass path (static + entities in one go),
+used for parity/golden tests and for center-agent games whose view moves
+every frame (their static cache would be invalid; a world-space cache is the
+planned optimization).
+
+Draw-order semantics follow bag.cpp:819-1012: background, grid cells
+(x-major, RENDER_EPS overlap resolved toward the later-drawn cell), entities
+by render_z in {-1, 0, 1} passes in slot order, velocity-info HUD.
 """
 
 from __future__ import annotations
@@ -51,9 +62,19 @@ def update_view_params(gd, cfg, state: EnvState) -> EnvState:
     )
 
 
+def _pixel_world_coords(state):
+    sx = jnp.arange(RES, dtype=F32) + 0.5  # column centers
+    sy = jnp.arange(RES, dtype=F32) + 0.5  # row centers
+    SX = sx[None, :]
+    SY = sy[:, None]
+    wx = (SX + state.x_off) / state.unit
+    wy = state.view_dim - (SY - state.y_off) / state.unit
+    return SX, SY, wx, wy
+
+
 def _sample_atlas(atlas, dims, slot, u, v, reflected):
-    """Nearest sample of atlas[slot] at normalized (u, v); u flip when
-    reflected (mirrored asset, bag.cpp:121-122).  Returns (rgb f32, a f32)."""
+    """Nearest gather from atlas[slot] at normalized (u, v); u flips when
+    reflected (mirrored asset, bag.cpp:121-122)."""
     w = dims[slot, 0]
     h = dims[slot, 1]
     su = jnp.clip((u * w.astype(F32)).astype(I32), 0, w - 1)
@@ -65,8 +86,10 @@ def _sample_atlas(atlas, dims, slot, u, v, reflected):
     return rgb, a
 
 
-def render_env(gd, cfg, state: EnvState, pack) -> jax.Array:
-    """One env -> (64, 64, 3) uint8."""
+def render_static_env(gd, cfg, state: EnvState, pack) -> jax.Array:
+    """Background + grid layer for the current level -> (64, 64, 3) uint8.
+
+    Gather-based; runs once per level (levelgen-time), not per step."""
     atlas = jnp.asarray(pack.atlas)
     dims = jnp.asarray(pack.dims)
     slot_lut = jnp.asarray(pack.slot_lut)
@@ -75,20 +98,11 @@ def render_env(gd, cfg, state: EnvState, pack) -> jax.Array:
     grid_image_lut = jnp.asarray(pack.grid_image_lut)
     grid_theme_lut = jnp.asarray(pack.grid_theme_lut)
 
-    unit = state.unit
-    view_dim = state.view_dim
-    x_off = state.x_off
-    y_off = state.y_off
+    SX, SY, wx, wy = _pixel_world_coords(state)
     mw = state.main_width.astype(F32)
     mh = state.main_height.astype(F32)
-
-    # screen-pixel centers and their world coordinates
-    sx = jnp.arange(RES, dtype=F32) + 0.5  # columns
-    sy = jnp.arange(RES, dtype=F32) + 0.5  # rows (top-down)
-    SX = sx[None, :]
-    SY = sy[:, None]
-    wx = (SX + x_off) / unit  # (1, 64) -> world x per column
-    wy = view_dim - (SY - y_off) / unit  # (64, 1) -> world y per row
+    unit, view_dim = state.unit, state.view_dim
+    x_off, y_off = state.x_off, state.y_off
 
     out = jnp.zeros((RES, RES, 3), F32)  # black fill (bag.cpp:980)
 
@@ -104,7 +118,6 @@ def render_env(gd, cfg, state: EnvState, pack) -> jax.Array:
         bg_ar = bgw / bgh
         world_ar = mw / mh
         offset_x = state.bg_pct_x * (bg_ar - world_ar)
-        # adjust_rect(main_rect, (-offset_x, 0, bg_ar/world_ar, 1))
         bx0 = m_x0 + m_w * (-offset_x)
         bw = m_w * (bg_ar / world_ar)
         u = (SX - bx0) / bw
@@ -122,6 +135,10 @@ def render_env(gd, cfg, state: EnvState, pack) -> jax.Array:
     in_grid = (cxi >= 0) & (cxi < state.main_width) & (cyi >= 0) & (
         cyi < state.main_height
     )
+    grid_at = state.grid[
+        jnp.clip(cyi, 0, state.grid.shape[0] - 1),
+        jnp.clip(cxi, 0, state.grid.shape[1] - 1),
+    ]
     if gd.center_agent(cfg):
         # cells outside the world render as out_of_bounds_object; the drawn
         # window is center +- (visibility/2 + 1) (bag.cpp:928-939)
@@ -133,38 +150,21 @@ def render_env(gd, cfg, state: EnvState, pack) -> jax.Array:
         in_window = (
             (cxi >= low_x) & (cxi <= high_x) & (cyi >= low_y) & (cyi <= high_y)
         )
-        cell_type = jnp.where(
-            in_grid,
-            state.grid[
-                jnp.clip(cyi, 0, state.grid.shape[0] - 1),
-                jnp.clip(cxi, 0, state.grid.shape[1] - 1),
-            ],
-            state.out_of_bounds_object,
-        )
+        cell_type = jnp.where(in_grid, grid_at, state.out_of_bounds_object)
         cell_valid = in_window & (cell_type != O.INVALID_OBJ)
     else:
-        cell_type = jnp.where(
-            in_grid,
-            state.grid[
-                jnp.clip(cyi, 0, state.grid.shape[0] - 1),
-                jnp.clip(cxi, 0, state.grid.shape[1] - 1),
-            ],
-            O.INVALID_OBJ,
-        )
+        cell_type = jnp.where(in_grid, grid_at, O.INVALID_OBJ)
         cell_valid = in_grid & (cell_type != O.INVALID_OBJ)
 
     cell_type_c = jnp.clip(cell_type, 0, grid_image_lut.shape[0] - 1)
     img_type = grid_image_lut[cell_type_c]
     theme = grid_theme_lut[cell_type_c]
-    has_asset = (img_type >= 0) & (img_type < O.MAX_ASSETS) & (
-        img_type != O.SPACE
-    )
+    has_asset = (img_type >= 0) & (img_type < O.MAX_ASSETS)
     draw_cell = cell_valid & has_asset & (cell_type != O.SPACE)
     slot = slot_lut[
         jnp.clip(img_type, 0, O.MAX_ASSETS - 1), jnp.clip(theme, 0, 9)
     ]
     draw_cell = draw_cell & (slot >= 0)
-    # uv inside the eps-inflated cell rect
     cu = (wx - (cxi.astype(F32) - RENDER_EPS)) / (1 + 2 * RENDER_EPS)
     cv = ((cyi.astype(F32) + 1 + RENDER_EPS) - wy) / (1 + 2 * RENDER_EPS)
     rgb, a = _sample_atlas(
@@ -173,38 +173,55 @@ def render_env(gd, cfg, state: EnvState, pack) -> jax.Array:
     )
     a = jnp.where(draw_cell, a, 0.0)
     out = rgb * a[..., None] + out * (1 - a[..., None])
+    return jnp.clip(out + 0.5, 0, 255).astype(jnp.uint8)
 
-    # ---- entities in draw order (bag.cpp:924, 957-958) ----
+
+def _entity_draw_order(ents):
+    """render_z passes -1/0/1, slot-ascending within each (bag.cpp:957-958,
+    1060-1066); dead slots sort last."""
+    E = ents.capacity
+    key = (ents.render_z + 1) * E + jnp.arange(E)
+    key = jnp.where(ents.alive, key, 10 * E + jnp.arange(E))
+    return jnp.argsort(key)
+
+
+def _entity_rect(state, ents, i):
+    """get_object_rect (bag.cpp:811-817) -> screen-space (x0, y0, w, h)."""
+    unit, view_dim = state.unit, state.view_dim
+    x, y = ents.x[i], ents.y[i]
+    rx, ry = ents.rx[i], ents.ry[i]
+    abs_c = ents.use_abs_coords[i]
+    r_x0 = jnp.where(
+        abs_c, view_dim * (x - rx) * unit, (x - rx) * unit - state.x_off
+    )
+    r_y0 = jnp.where(
+        abs_c,
+        view_dim * (y + ry) * unit,
+        (view_dim - (y + ry)) * unit + state.y_off,
+    )
+    r_w = jnp.where(abs_c, 2 * view_dim * rx * unit, 2 * rx * unit)
+    r_h = jnp.where(abs_c, 2 * view_dim * ry * unit, 2 * ry * unit)
+    return r_x0, r_y0, r_w, r_h
+
+
+def _composite_entities_gather(gd, cfg, state, pack, out):
+    """Reference path: per-pixel gather sampling with rotation support."""
+    atlas = jnp.asarray(pack.atlas)
+    dims = jnp.asarray(pack.dims)
+    slot_lut = jnp.asarray(pack.slot_lut)
     ents = state.ents
     E = ents.capacity
-    draw_key = (ents.render_z + 1) * E + jnp.arange(E)
-    draw_key = jnp.where(ents.alive, draw_key, 10 * E + jnp.arange(E))
-    order = jnp.argsort(draw_key)
+    order = _entity_draw_order(ents)
+    SX, SY, _, _ = _pixel_world_coords(state)
 
     def draw_one(k, out):
         i = order[k]
         ok = ents.alive[i]
-        if hasattr(gd, "should_draw_entity_mask"):
-            ok = ok & gd.should_draw_entity_mask(cfg, state)[i]
-        x, y = ents.x[i], ents.y[i]
-        rx, ry = ents.rx[i], ents.ry[i]
-        abs_c = ents.use_abs_coords[i]
-        # get_object_rect (bag.cpp:811-817)
-        r_x0 = jnp.where(
-            abs_c, view_dim * (x - rx) * unit, (x - rx) * unit - x_off
-        )
-        r_y0 = jnp.where(
-            abs_c,
-            view_dim * (y + ry) * unit,
-            (view_dim - (y + ry)) * unit + y_off,
-        )
-        r_w = jnp.where(abs_c, 2 * view_dim * rx * unit, 2 * rx * unit)
-        r_h = jnp.where(abs_c, 2 * view_dim * ry * unit, 2 * ry * unit)
-
+        r_x0, r_y0, r_w, r_h = _entity_rect(state, ents, i)
         img_t = ents.image_type[i]
-        e_theme = ents.image_theme[i]
         e_slot = slot_lut[
-            jnp.clip(img_t, 0, O.MAX_ASSETS - 1), jnp.clip(e_theme, 0, 9)
+            jnp.clip(img_t, 0, O.MAX_ASSETS - 1),
+            jnp.clip(ents.image_theme[i], 0, 9),
         ]
         ok = ok & (img_t >= 0) & (img_t < O.MAX_ASSETS) & (e_slot >= 0)
 
@@ -215,7 +232,6 @@ def render_env(gd, cfg, state: EnvState, pack) -> jax.Array:
         dyp = SY - cyp
         cos_r = jnp.cos(rot)
         sin_r = jnp.sin(rot)
-        # inverse of painter rotation (clockwise screen rotation by rot)
         lx = cos_r * dxp + sin_r * dyp
         ly = -sin_r * dxp + cos_r * dyp
         u = (lx + r_w / 2) / r_w
@@ -229,22 +245,99 @@ def render_env(gd, cfg, state: EnvState, pack) -> jax.Array:
         a = jnp.where(inside & ok, a, 0.0)
         return rgb * a[..., None] + out * (1 - a[..., None])
 
-    out = jax.lax.fori_loop(0, E, draw_one, out)
+    return jax.lax.fori_loop(0, E, draw_one, out)
 
-    # ---- paint_vel_info squares (bag.cpp:960-969) ----
-    if gd.has_useful_vel_info and cfg.paint_vel_info:
-        infodim = F32(RES * 0.2)
-        s1 = jnp.clip(
-            ((0.5 * ents.vx[eo.AGENT] / state.maxspeed + 0.5) * 255).astype(I32),
-            0, 255,
-        ).astype(F32)
-        s2 = jnp.clip(
-            ((0.5 * ents.vy[eo.AGENT] / state.max_jump + 0.5) * 255).astype(I32),
-            0, 255,
-        ).astype(F32)
-        in1 = (SX < infodim) & (SY < infodim)
-        in2 = (SX >= infodim) & (SX < 2 * infodim) & (SY < infodim)
-        out = jnp.where(in1[..., None], s1, out)
-        out = jnp.where(in2[..., None], s2, out)
 
+def _composite_entities_matmul(gd, cfg, state, pack, out):
+    """TPU path: separable nearest sampling via one-hot matmuls (MXU).
+
+    Exact for rotation == 0 entities (every game currently ported); each
+    output pixel is selected by exactly one product, so values match the
+    gather path bit-for-bit."""
+    atlas = jnp.asarray(pack.atlas).astype(F32)  # (n, Sh, Sw, 4)
+    dims = jnp.asarray(pack.dims)
+    slot_lut = jnp.asarray(pack.slot_lut)
+    ents = state.ents
+    E = ents.capacity
+    Sh, Sw = atlas.shape[1], atlas.shape[2]
+    order = _entity_draw_order(ents)
+    px = jnp.arange(RES, dtype=F32) + 0.5
+    iota_h = jnp.arange(Sh)
+    iota_w = jnp.arange(Sw)
+
+    def draw_one(k, out):
+        i = order[k]
+        ok = ents.alive[i]
+        r_x0, r_y0, r_w, r_h = _entity_rect(state, ents, i)
+        img_t = ents.image_type[i]
+        e_slot = slot_lut[
+            jnp.clip(img_t, 0, O.MAX_ASSETS - 1),
+            jnp.clip(ents.image_theme[i], 0, 9),
+        ]
+        ok = ok & (img_t >= 0) & (img_t < O.MAX_ASSETS) & (e_slot >= 0)
+        w = dims[e_slot, 0]
+        h = dims[e_slot, 1]
+
+        u = (px - r_x0) / r_w  # (64,)
+        v = (px - r_y0) / r_h
+        in_x = (u >= 0) & (u < 1)
+        in_y = (v >= 0) & (v < 1)
+        su = jnp.clip((jnp.clip(u, 0.0, 0.9999) * w.astype(F32)).astype(I32), 0, w - 1)
+        sv = jnp.clip((jnp.clip(v, 0.0, 0.9999) * h.astype(F32)).astype(I32), 0, h - 1)
+        su = jnp.where(ents.is_reflected[i], w - 1 - su, su)
+
+        ohy = ((iota_h[None, :] == sv[:, None]) & in_y[:, None] & ok).astype(F32)
+        ohx = ((iota_w[:, None] == su[None, :]) & in_x[None, :]).astype(F32)
+        tex = atlas[e_slot]  # (Sh, Sw, 4)
+        tmp = jnp.einsum(
+            "ys,swc->ywc", ohy, tex, preferred_element_type=jnp.float32
+        )
+        spr = jnp.einsum(
+            "ywc,wx->yxc", tmp, ohx, preferred_element_type=jnp.float32
+        )
+        a = spr[..., 3] / 255.0 * ents.alpha[i]
+        return spr[..., :3] * a[..., None] + out * (1 - a[..., None])
+
+    return jax.lax.fori_loop(0, E, draw_one, out)
+
+
+def _paint_vel_info(gd, cfg, state, out):
+    """bag.cpp:960-969."""
+    if not (gd.has_useful_vel_info and cfg.paint_vel_info):
+        return out
+    ents = state.ents
+    SX = (jnp.arange(RES, dtype=F32) + 0.5)[None, :]
+    SY = (jnp.arange(RES, dtype=F32) + 0.5)[:, None]
+    infodim = F32(RES * 0.2)
+    s1 = jnp.clip(
+        ((0.5 * ents.vx[eo.AGENT] / state.maxspeed + 0.5) * 255).astype(I32),
+        0, 255,
+    ).astype(F32)
+    s2 = jnp.clip(
+        ((0.5 * ents.vy[eo.AGENT] / state.max_jump + 0.5) * 255).astype(I32),
+        0, 255,
+    ).astype(F32)
+    in1 = (SX < infodim) & (SY < infodim)
+    in2 = (SX >= infodim) & (SX < 2 * infodim) & (SY < infodim)
+    out = jnp.where(in1[..., None], s1, out)
+    out = jnp.where(in2[..., None], s2, out)
+    return out
+
+
+def render_env(gd, cfg, state: EnvState, pack) -> jax.Array:
+    """Direct single-pass render (parity/golden path, center-agent games)."""
+    out = render_static_env(gd, cfg, state, pack).astype(F32)
+    out = _composite_entities_gather(gd, cfg, state, pack, out)
+    out = _paint_vel_info(gd, cfg, state, out)
+    return jnp.clip(out + 0.5, 0, 255).astype(jnp.uint8)
+
+
+def render_frame(gd, cfg, state: EnvState, pack) -> jax.Array:
+    """Per-step frame: entities over the cached static layer (MXU path)."""
+    if gd.center_agent(cfg):
+        # view moves with the agent: static cache invalid, use direct path
+        return render_env(gd, cfg, state, pack)
+    out = state.static_layer.astype(F32)
+    out = _composite_entities_matmul(gd, cfg, state, pack, out)
+    out = _paint_vel_info(gd, cfg, state, out)
     return jnp.clip(out + 0.5, 0, 255).astype(jnp.uint8)

@@ -201,6 +201,13 @@ class EnvState:
     visibility: jax.Array
     min_visibility: jax.Array
 
+    # --- render cache (not serialized; analogue of Game::render_buf) ---
+    # Pre-rendered background+grid layer for the current level, refreshed on
+    # reset by the env/fast wrappers.  Per-step frames composite entities
+    # over it (render/renderer.py).  Invalid for center_agent games (view
+    # moves every step); those use the direct render path.
+    static_layer: jax.Array  # uint8 (64, 64, 3)
+
     # --- per-game extras ---
     extra: Dict[str, Any]
 
@@ -258,6 +265,7 @@ def init_state_template(gd, cfg) -> EnvState:
         y_off=jnp.asarray(0.0, F32),
         visibility=jnp.asarray(gd.visibility, F32),
         min_visibility=jnp.asarray(gd.min_visibility, F32),
+        static_layer=jnp.zeros((64, 64, 3), jnp.uint8),
         extra=gd.init_extra(cfg),
     )
 

@@ -14,6 +14,11 @@ if "xla_force_host_platform_device_count" not in prev:
         prev + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+# The axon TPU plugin can override JAX_PLATFORMS; the config knob wins.
+jax.config.update("jax_platforms", "cpu")
+
 import subprocess
 from pathlib import Path
 
