@@ -19,12 +19,15 @@ import time
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 from procgen_tpu.config import EnvConfig, DistributionMode
 from procgen_tpu.engine.game import reset_env
 from procgen_tpu.games import make_game, available_games
 from procgen_tpu.parallel.fast import make_fast_fns
 from procgen_tpu.render.pack import RenderPack
-from procgen_tpu.render.renderer import render_frame, render_static_env, update_view_params
+from procgen_tpu.render.renderer import render_frames, update_view_params
 from procgen_tpu import rng as R
 from procgen_tpu.state import init_state_template
 
@@ -51,7 +54,6 @@ def bench_game(name: str, num_envs: int, chunk: int, chunks: int, render: bool):
     gd = make_game(cfg)
     pack = RenderPack(gd, cfg)
     fast_init, fast_step = make_fast_fns(gd, cfg, pack, refill_bucket=max(256, num_envs // 8))
-    render_one = lambda s: render_frame(gd, cfg, s, pack)
 
     reset_all = jax.jit(
         jax.vmap(lambda s: update_view_params(gd, cfg, reset_env(gd, cfg, s)))
@@ -65,7 +67,7 @@ def bench_game(name: str, num_envs: int, chunk: int, chunks: int, render: bool):
         acts = jax.random.randint(sub, (num_envs,), 0, 15, jnp.int32)
         fs = fast_step(fs, acts)
         if render:
-            obs = jax.vmap(render_one)(fs.state)
+            obs = render_frames(gd, cfg, fs.state, pack)
             checksum = checksum + jnp.sum(obs[:, 31, 31, :].astype(jnp.uint32))
         return (fs, key, checksum), None
 

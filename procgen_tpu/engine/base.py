@@ -106,8 +106,14 @@ class GameDef:
     def choose_world_dim(self, cfg, state: EnvState) -> EnvState:
         return state
 
-    def game_reset(self, cfg, state: EnvState) -> EnvState:
-        return base_game_reset(self, cfg, state)
+    # Worst-case RNG draws consumed by one reset (sizes the prefetch block;
+    # overflow is detectable via rng.blk_overflowed and asserted in tests).
+    reset_max_draws: int = 512
+
+    def game_reset(self, cfg, state: EnvState, rs):
+        """Level generation; draws through ``rs`` (an open MTBlock).
+        Returns (state, rs)."""
+        return base_game_reset(self, cfg, state, rs)
 
     def game_step(self, cfg, state: EnvState) -> EnvState:
         return base_game_step(self, cfg, state)
@@ -183,12 +189,11 @@ class GameDef:
 # ---------------------------------------------------------------------------
 
 
-def base_game_reset(gd: GameDef, cfg, state: EnvState) -> EnvState:
+def base_game_reset(gd: GameDef, cfg, state: EnvState, rs):
     state = gd.choose_world_dim(cfg, state)
 
-    mt = state.rng
-    mt, bg_pct_x = R.mt_rand01(mt)
-    mt, background_index = R.mt_randn(mt, gd.num_backgrounds)
+    rs, bg_pct_x = R.rs_rand01(rs)
+    rs, background_index = R.rs_randn(rs, gd.num_backgrounds)
     # use_procgen_background is impossible for supported games/options: every
     # game overrides load_background_images, and use_generated_assets is
     # rejected at the env layer (state save requires it off, bag.cpp:1176).
@@ -196,8 +201,8 @@ def base_game_reset(gd: GameDef, cfg, state: EnvState) -> EnvState:
     # entities.clear(); agent spawn (bag.cpp:775-793)
     a_r = F32(0.4)
     if gd.random_agent_start:
-        mt, u1 = R.mt_rand01(mt)
-        mt, u2 = R.mt_rand01(mt)
+        rs, u1 = R.rs_rand01(rs)
+        rs, u2 = R.rs_rand01(rs)
         ax = u1 * (state.main_width.astype(F32) - 2 * a_r) + a_r
         ay = u2 * (state.main_height.astype(F32) - 2 * a_r) + a_r
     else:
@@ -214,12 +219,11 @@ def base_game_reset(gd: GameDef, cfg, state: EnvState) -> EnvState:
     grid = jnp.full((H, W), O.SPACE, I32)
 
     return state.replace(
-        rng=mt,
         bg_pct_x=bg_pct_x,
         background_index=background_index,
         ents=ents,
         grid=grid,
-    )
+    ), rs
 
 
 # ---------------------------------------------------------------------------

@@ -108,21 +108,24 @@ def has_agent_collision_from(ents: EntityTable, x, y, rx, ry, type_, margin):
     return jnp.logical_and(type_ != O.PLAYER, agent_coll)
 
 
-def rand_pos(mt: R.MT, r, lo, hi, active=True):
+def rand_pos(rs, r, lo, hi, active=True):
     """bag.cpp:1100-1108.  NOTE: consumes a draw only when the box is loose
     (max - min > 2r); the tight case returns the midpoint without touching the
-    stream -- this conditional consumption is part of the RNG contract."""
+    stream -- this conditional consumption is part of the RNG contract.
+
+    ``rs``: any draw source (MT or open MTBlock)."""
     lo = jnp.asarray(lo, F32)
     hi = jnp.asarray(hi, F32)
     r = jnp.asarray(r, F32)
     tight = (hi - lo) <= 2 * r
     draw_active = jnp.logical_and(jnp.asarray(active), ~tight)
-    mt, u = R.mt_rand01(mt, active=draw_active)
+    rs, u = R.rs_rand01(rs, active=draw_active)
     loose_val = (hi - lo - 2 * r) * u + r + lo
-    return mt, jnp.where(tight, (hi + lo) / 2, loose_val)
+    return rs, jnp.where(tight, (hi + lo) / 2, loose_val)
 
 
 def reposition(
+    rs,
     state: EnvState,
     rx,
     ry,
@@ -137,20 +140,19 @@ def reposition(
 ):
     """bag.cpp:541-560: rejection-sample a position (<= 100 retries).
 
-    Returns (state, px, py).  ``exclude`` masks out a slot from the
+    Returns (rs, px, py).  ``exclude`` masks out a slot from the
     any-collision test (used when repositioning an existing entity).
     The loop is a bounded fori with per-env active masking so each env
     consumes exactly as many draws as the reference would.
     """
-    mt = state.rng
     ents = state.ents
 
-    def try_place(mt, active):
-        mt, px = rand_pos(mt, rx, x, x + w, active)
-        mt, py = rand_pos(mt, ry, y, y + h, active)
-        return mt, px, py
+    def try_place(rs, active):
+        rs, px = rand_pos(rs, rx, x, x + w, active)
+        rs, py = rand_pos(rs, ry, y, y + h, active)
+        return rs, px, py
 
-    mt, px, py = try_place(mt, True)
+    rs, px, py = try_place(rs, True)
 
     def bad(px, py):
         agent_hit = has_agent_collision_from(ents, px, py, rx, ry, type_, collision_margin)
@@ -160,30 +162,33 @@ def reposition(
         return agent_hit | jnp.logical_and(check_collisions, any_hit)
 
     def body(_, carry):
-        mt, px, py, active = carry
+        rs, px, py, active = carry
         active = jnp.logical_and(active, bad(px, py))
-        mt, nx2 = rand_pos(mt, rx, x, x + w, active)
-        mt, ny2 = rand_pos(mt, ry, y, y + h, active)
+        rs, nx2 = rand_pos(rs, rx, x, x + w, active)
+        rs, ny2 = rand_pos(rs, ry, y, y + h, active)
         px = jnp.where(active, nx2, px)
         py = jnp.where(active, ny2, py)
-        return mt, px, py, active
+        return rs, px, py, active
 
-    mt, px, py, _ = jax.lax.fori_loop(0, 100, body, (mt, px, py, jnp.asarray(True)))
-    return state.replace(rng=mt), px, py
+    rs, px, py, _ = jax.lax.fori_loop(0, 100, body, (rs, px, py, jnp.asarray(True)))
+    return rs, px, py
 
 
 def spawn_entity_rxy(
-    state: EnvState, rx, ry, type_, x, y, w, h, check_collisions=True, active=True
+    rs, state: EnvState, rx, ry, type_, x, y, w, h, check_collisions=True, active=True
 ):
-    """bag.cpp:511-519: reposition a fresh entity then push_back."""
+    """bag.cpp:511-519: reposition a fresh entity then push_back.
+
+    Returns (rs, state, idx)."""
     fields = make_entity(0.0, 0.0, 0.0, 0.0, rx, ry, type_)
-    state, px, py = reposition(
-        state, rx, ry, type_, fields["collision_margin"], x, y, w, h, check_collisions
+    rs, px, py = reposition(
+        rs, state, rx, ry, type_, fields["collision_margin"], x, y, w, h,
+        check_collisions,
     )
     fields["x"] = px
     fields["y"] = py
     ents, idx = append_entity(state.ents, fields, active)
-    return state.replace(ents=ents), idx
+    return rs, state.replace(ents=ents), idx
 
 
 def add_entity_rxy(state: EnvState, x, y, vx, vy, rx, ry, type_, active=True):

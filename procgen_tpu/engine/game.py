@@ -48,9 +48,12 @@ def reset_env(gd, cfg, state: EnvState) -> EnvState:
         reward=reward,
         done=done,
         level_complete=level_complete,
-        rng=R.mt_seed(new_seed),
     )
-    state = gd.game_reset(cfg, state)
+    # Level generation draws through a prefetched block: one twist chain for
+    # the whole levelgen instead of a conditional twist per draw.
+    rs = R.mt_block_open(R.mt_seed(new_seed), gd.reset_max_draws)
+    state, rs = gd.game_reset(cfg, state, rs)
+    state = state.replace(rng=R.mt_block_close(rs))
     return state.replace(
         cur_time=jnp.asarray(0, I32),
         episodes_remaining=state.episodes_remaining - 1,

@@ -121,7 +121,7 @@ def generate_maze(mt: R.MT, maze_dim, max_dim: int) -> MazeResult:
         mt, grid, labels, free_cells, in_free_set, num_free, removed = carry
         active = k < n_walls
         remaining = n_walls - k
-        mt, n = R.mt_randn(mt, jnp.maximum(remaining, 1), active=active)
+        mt, n = R.rs_randn(mt, jnp.maximum(remaining, 1), active=active)
         # logical n -> physical index among surviving walls, original order
         alive_pos = jnp.cumsum((~removed).astype(I32)) - 1
         match = jnp.logical_and(~removed, alive_pos == n)
@@ -181,7 +181,7 @@ def place_objects(
 
     for j in range(num_objs):
         m0 = jnp.asarray(0, I32)
-        mt, m0 = R.mt_randn(mt, res.num_free_cells)
+        mt, m0 = R.rs_randn(mt, res.num_free_cells)
 
         def bad(m):
             v = free_cells[jnp.clip(m, 0, NC - 1)]
@@ -190,7 +190,7 @@ def place_objects(
         def body(_, carry):
             mt, m, active = carry
             active = jnp.logical_and(active, bad(m))
-            mt, m2 = R.mt_randn(mt, res.num_free_cells, active=active)
+            mt, m2 = R.rs_randn(mt, res.num_free_cells, active=active)
             m = jnp.where(active, m2, m)
             return mt, m, active
 

@@ -29,8 +29,8 @@ from procgen_tpu.games import make_game
 from procgen_tpu.render.pack import RenderPack
 from procgen_tpu.render.renderer import (
     render_env,
-    render_frame,
-    render_static_env,
+    render_frames,
+    render_static_dispatch,
     update_view_params,
 )
 from procgen_tpu.state import EnvState, init_state_template
@@ -106,7 +106,7 @@ class ProcgenTPUEnv:
         gd, pack = self.gd, self.pack
 
         def _refresh_static(state, force=False):
-            fresh = render_static_env(gd, cfg, state, pack)
+            fresh = render_static_dispatch(gd, cfg, state, pack)
             if force:
                 return state.replace(static_layer=fresh)
             return state.replace(
@@ -123,12 +123,12 @@ class ProcgenTPUEnv:
             state = update_view_params(gd, cfg, state)
             return _refresh_static(state)
 
-        def _render_one(state):
-            return render_frame(gd, cfg, state, pack)
 
         self._reset_all = jax.jit(jax.vmap(_reset_one))
         self._step_all = jax.jit(jax.vmap(_step_one))
-        self._render_all = jax.jit(jax.vmap(_render_one))
+        self._render_all = jax.jit(
+            lambda states: render_frames(gd, cfg, states, pack)
+        )
 
         self.state = self._initial_state(rand_seed)
         self.state = self._reset_all(self.state)

@@ -17,8 +17,7 @@ def register_game(name: str):
 
 def make_game(cfg):
     """Instantiate the GameDef for cfg.env_name (one instance per config)."""
-    import procgen_tpu.games.maze  # noqa: F401  (import registers)
-    import procgen_tpu.games.bigfish  # noqa: F401
+    _import_all()
 
     name = cfg.env_name
     if name not in _REGISTRY:
@@ -28,8 +27,12 @@ def make_game(cfg):
     return _REGISTRY[name](cfg)
 
 
-def available_games():
-    import procgen_tpu.games.maze  # noqa: F401
+def _import_all():
     import procgen_tpu.games.bigfish  # noqa: F401
+    import procgen_tpu.games.maze  # noqa: F401
+    import procgen_tpu.games.miner  # noqa: F401
 
+
+def available_games():
+    _import_all()
     return sorted(_REGISTRY)

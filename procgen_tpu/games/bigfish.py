@@ -65,8 +65,8 @@ class BigFish(GameDef):
             main_width=jnp.asarray(20, I32), main_height=jnp.asarray(20, I32)
         )
 
-    def game_reset(self, cfg, state: EnvState) -> EnvState:
-        state = base_game_reset(self, cfg, state)
+    def game_reset(self, cfg, state: EnvState, rs):
+        state, rs = base_game_reset(self, cfg, state, rs)
         start_r = F32(self.start_r)
         r_inc = (FISH_MAX_R - start_r) / FISH_QUOTA
         ents = eo.write_slot(
@@ -79,7 +79,7 @@ class BigFish(GameDef):
         extra = dict(state.extra)
         extra["fish_eaten"] = jnp.asarray(0, I32)
         extra["r_inc"] = r_inc
-        return state.replace(ents=ents, extra=extra)
+        return state.replace(ents=ents, extra=extra), rs
 
     def agent_collision_phase(self, cfg, state: EnvState) -> EnvState:
         """Exact reverse-order dispatch (bigfish.cpp:45-59): eating grows the

@@ -67,12 +67,12 @@ class MazeGame(GameDef):
         wd = jnp.asarray(self.world_dim, I32)
         return state.replace(main_width=wd, main_height=wd)
 
-    def game_reset(self, cfg, state: EnvState) -> EnvState:
-        state = base_game_reset(self, cfg, state)
+    def game_reset(self, cfg, state: EnvState, rs):
+        state, rs = base_game_reset(self, cfg, state, rs)
         state = state.replace(grid_step=jnp.asarray(True))
 
         wd = self.world_dim
-        mt, r = R.mt_randn(state.rng, (wd - 1) // 2)
+        rs, r = R.rs_randn(rs, (wd - 1) // 2)
         maze_dim = r * 2 + 3
         margin = (jnp.asarray(wd, I32) - maze_dim) // 2
 
@@ -84,8 +84,8 @@ class MazeGame(GameDef):
         )
         state = state.replace(ents=ents)
 
-        res = mazegen.generate_maze(mt, maze_dim, wd)
-        mt, res = mazegen.place_objects(res.rng, res, GOAL, 1, maze_dim, wd)
+        res = mazegen.generate_maze(rs, maze_dim, wd)
+        rs, res = mazegen.place_objects(res.rng, res, GOAL, 1, maze_dim, wd)
 
         # world grid: WALL everywhere, maze interior copied at margin offset
         # (maze.cpp:76-96; the extra border ring at margin-1 is already WALL).
@@ -102,7 +102,7 @@ class MazeGame(GameDef):
 
         extra = dict(state.extra)
         extra["maze_dim"] = maze_dim
-        return state.replace(rng=mt, grid=grid, extra=extra)
+        return state.replace(grid=grid, extra=extra), rs
 
     def set_action_xy(self, cfg, state, move_action):
         # maze.cpp:99-103: horizontal wins over vertical

@@ -26,7 +26,7 @@ from procgen_tpu.engine.game import (
     reset_env,
     step_env_no_reset,
 )
-from procgen_tpu.render.renderer import render_static_env, update_view_params
+from procgen_tpu.render.renderer import render_static_dispatch, update_view_params
 from procgen_tpu.state import EnvState, tree_select
 
 # step-output fields that must come from the dying step, not the pregen entry
@@ -58,7 +58,7 @@ def make_fast_fns(gd, cfg, pack, refill_bucket: int = 1024):
 
     def _pregen_one(s):
         s = update_view_params(gd, cfg, reset_env(gd, cfg, s))
-        return s.replace(static_layer=render_static_env(gd, cfg, s, pack))
+        return s.replace(static_layer=render_static_dispatch(gd, cfg, s, pack))
 
     pregen = jax.vmap(_pregen_one)
     view = jax.vmap(lambda s: update_view_params(gd, cfg, s))
@@ -73,7 +73,7 @@ def make_fast_fns(gd, cfg, pack, refill_bucket: int = 1024):
         # ensure the live state's static layer is rendered (first episodes)
         state = state.replace(
             static_layer=jax.vmap(
-                lambda s: render_static_env(gd, cfg, s, pack)
+                lambda s: render_static_dispatch(gd, cfg, s, pack)
             )(state)
         )
         fs = FastState(state, state, jnp.zeros((n,), jnp.bool_))

@@ -66,9 +66,43 @@ class RenderPack:
         self.bg_atlas = bg_atlas
         self.bg_dims = bg_dims
 
+        # ---- mip atlases for the fast (matmul) sampling paths ----
+        # Sprites render at <= ~16 px on a 64 px frame, so a fixed-res mip
+        # loses nothing visually and keeps the one-hot matmuls tiny.
+        R = getattr(gd, "sprite_sample_res", 32)
+        self.sprite_res = R
+        self.sprite_mips = np.zeros((max(len(imgs), 1), R, R, 4), np.uint8)
+        for k, img in enumerate(imgs):
+            self.sprite_mips[k] = _nearest_resize(img, R, R)
+
+        BR = getattr(gd, "bg_sample_res", 128)
+        self.bg_res = BR
+        self.bg_mips = np.zeros((len(bgs), BR, BR, 3), np.uint8)
+        for k, b in enumerate(bgs):
+            self.bg_mips[k] = _nearest_resize(b[..., :3], BR, BR)
+
         # grid-type render tables
         self.grid_image_lut = gd.grid_image_lut(cfg)  # (GRID_TYPE_LUT_SIZE,)
         self.grid_theme_lut = gd.grid_theme_lut(cfg)
+
+        # composite per-cell-type lut for the fast grid pass: 0 = draw
+        # nothing, k >= 1 = sprite slot k-1
+        gsl = np.zeros((GRID_TYPE_LUT_SIZE,), np.int32)
+        for t in range(GRID_TYPE_LUT_SIZE):
+            img = int(self.grid_image_lut[t])
+            theme = int(self.grid_theme_lut[t])
+            if t == O.SPACE or img < 0 or img >= O.MAX_ASSETS:
+                continue
+            s = int(slot_lut[img, min(theme, O.MAX_IMAGE_THEMES - 1)])
+            if s >= 0:
+                gsl[t] = s + 1
+        self.grid_slot_lut = gsl
+
+
+def _nearest_resize(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    ys = np.floor((np.arange(h) + 0.5) * img.shape[0] / h).astype(np.int64)
+    xs = np.floor((np.arange(w) + 0.5) * img.shape[1] / w).astype(np.int64)
+    return img[ys[:, None], xs[None, :]]
 
 
 def default_grid_image_lut() -> np.ndarray:

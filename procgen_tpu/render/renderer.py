@@ -86,10 +86,11 @@ def _sample_atlas(atlas, dims, slot, u, v, reflected):
     return rgb, a
 
 
-def render_static_env(gd, cfg, state: EnvState, pack) -> jax.Array:
+def render_static_env(gd, cfg, state: EnvState, pack, parts=("bg", "grid")) -> jax.Array:
     """Background + grid layer for the current level -> (64, 64, 3) uint8.
 
-    Gather-based; runs once per level (levelgen-time), not per step."""
+    Gather-based; runs once per level (levelgen-time), not per step.
+    ``parts`` selects the passes (grid-dynamic games cache bg only)."""
     atlas = jnp.asarray(pack.atlas)
     dims = jnp.asarray(pack.dims)
     slot_lut = jnp.asarray(pack.slot_lut)
@@ -107,7 +108,7 @@ def render_static_env(gd, cfg, state: EnvState, pack) -> jax.Array:
     out = jnp.zeros((RES, RES, 3), F32)  # black fill (bag.cpp:980)
 
     # ---- background (bag.cpp:979-1007) ----
-    if cfg.use_backgrounds:
+    if cfg.use_backgrounds and "bg" in parts:
         bgi = state.background_index
         bgw = bg_dims[bgi, 0].astype(F32)
         bgh = bg_dims[bgi, 1].astype(F32)
@@ -130,6 +131,8 @@ def render_static_env(gd, cfg, state: EnvState, pack) -> jax.Array:
         out = jnp.where(inside[..., None], col, out)
 
     # ---- grid tiles (bag.cpp:941-955) ----
+    if "grid" not in parts:
+        return jnp.clip(out + 0.5, 0, 255).astype(jnp.uint8)
     cxi = jnp.floor(wx + RENDER_EPS).astype(I32)  # (1, 64)
     cyi = jnp.floor(wy + RENDER_EPS).astype(I32)  # (64, 1)
     in_grid = (cxi >= 0) & (cxi < state.main_width) & (cyi >= 0) & (
@@ -176,6 +179,62 @@ def render_static_env(gd, cfg, state: EnvState, pack) -> jax.Array:
     return jnp.clip(out + 0.5, 0, 255).astype(jnp.uint8)
 
 
+def render_grid_over(gd, cfg, state: EnvState, pack, canvas_f32) -> jax.Array:
+    """Gather-based grid pass blended over an existing f32 canvas (used by
+    the direct path for grid-dynamic games)."""
+    return _grid_pass_gather(gd, cfg, state, pack, canvas_f32)
+
+
+def _grid_pass_gather(gd, cfg, state: EnvState, pack, out):
+    """The grid-tile pass of render_static_env over a given f32 canvas."""
+    atlas = jnp.asarray(pack.atlas)
+    dims = jnp.asarray(pack.dims)
+    slot_lut = jnp.asarray(pack.slot_lut)
+    grid_image_lut = jnp.asarray(pack.grid_image_lut)
+    grid_theme_lut = jnp.asarray(pack.grid_theme_lut)
+    _, _, wx, wy = _pixel_world_coords(state)
+    cxi = jnp.floor(wx + RENDER_EPS).astype(I32)
+    cyi = jnp.floor(wy + RENDER_EPS).astype(I32)
+    in_grid = (cxi >= 0) & (cxi < state.main_width) & (cyi >= 0) & (
+        cyi < state.main_height
+    )
+    grid_at = state.grid[
+        jnp.clip(cyi, 0, state.grid.shape[0] - 1),
+        jnp.clip(cxi, 0, state.grid.shape[1] - 1),
+    ]
+    if gd.center_agent(cfg):
+        margin = state.visibility / 2 + 1
+        low_x = (state.center_x - margin).astype(I32)
+        high_x = (state.center_x + margin).astype(I32)
+        low_y = (state.center_y - margin).astype(I32)
+        high_y = (state.center_y + margin).astype(I32)
+        in_window = (
+            (cxi >= low_x) & (cxi <= high_x) & (cyi >= low_y) & (cyi <= high_y)
+        )
+        cell_type = jnp.where(in_grid, grid_at, state.out_of_bounds_object)
+        cell_valid = in_window & (cell_type != O.INVALID_OBJ)
+    else:
+        cell_type = jnp.where(in_grid, grid_at, O.INVALID_OBJ)
+        cell_valid = in_grid & (cell_type != O.INVALID_OBJ)
+    cell_type_c = jnp.clip(cell_type, 0, grid_image_lut.shape[0] - 1)
+    img_type = grid_image_lut[cell_type_c]
+    theme = grid_theme_lut[cell_type_c]
+    has_asset = (img_type >= 0) & (img_type < O.MAX_ASSETS)
+    draw_cell = cell_valid & has_asset & (cell_type != O.SPACE)
+    slot = slot_lut[
+        jnp.clip(img_type, 0, O.MAX_ASSETS - 1), jnp.clip(theme, 0, 9)
+    ]
+    draw_cell = draw_cell & (slot >= 0)
+    cu = (wx - (cxi.astype(F32) - RENDER_EPS)) / (1 + 2 * RENDER_EPS)
+    cv = ((cyi.astype(F32) + 1 + RENDER_EPS) - wy) / (1 + 2 * RENDER_EPS)
+    rgb, a = _sample_atlas(
+        atlas, dims, jnp.clip(slot, 0), jnp.clip(cu, 0.0, 0.9999),
+        jnp.clip(cv, 0.0, 0.9999), jnp.asarray(False),
+    )
+    a = jnp.where(draw_cell, a, 0.0)
+    return rgb * a[..., None] + out * (1 - a[..., None])
+
+
 def _entity_draw_order(ents):
     """render_z passes -1/0/1, slot-ascending within each (bag.cpp:957-958,
     1060-1066); dead slots sort last."""
@@ -204,7 +263,7 @@ def _entity_rect(state, ents, i):
     return r_x0, r_y0, r_w, r_h
 
 
-def _composite_entities_gather(gd, cfg, state, pack, out):
+def _composite_entities_gather(gd, cfg, state, pack, out, z_filter="all"):
     """Reference path: per-pixel gather sampling with rotation support."""
     atlas = jnp.asarray(pack.atlas)
     dims = jnp.asarray(pack.dims)
@@ -217,6 +276,10 @@ def _composite_entities_gather(gd, cfg, state, pack, out):
     def draw_one(k, out):
         i = order[k]
         ok = ents.alive[i]
+        if z_filter == "neg":
+            ok = ok & (ents.render_z[i] < 0)
+        elif z_filter == "nonneg":
+            ok = ok & (ents.render_z[i] >= 0)
         r_x0, r_y0, r_w, r_h = _entity_rect(state, ents, i)
         img_t = ents.image_type[i]
         e_slot = slot_lut[
@@ -268,6 +331,10 @@ def _composite_entities_matmul(gd, cfg, state, pack, out):
     def draw_one(k, out):
         i = order[k]
         ok = ents.alive[i]
+        if z_filter == "neg":
+            ok = ok & (ents.render_z[i] < 0)
+        elif z_filter == "nonneg":
+            ok = ok & (ents.render_z[i] >= 0)
         r_x0, r_y0, r_w, r_h = _entity_rect(state, ents, i)
         img_t = ents.image_type[i]
         e_slot = slot_lut[
@@ -326,8 +393,14 @@ def _paint_vel_info(gd, cfg, state, out):
 
 def render_env(gd, cfg, state: EnvState, pack) -> jax.Array:
     """Direct single-pass render (parity/golden path, center-agent games)."""
-    out = render_static_env(gd, cfg, state, pack).astype(F32)
-    out = _composite_entities_gather(gd, cfg, state, pack, out)
+    if getattr(gd, "grid_dynamic", False):
+        out = render_static_env(gd, cfg, state, pack, parts=("bg",)).astype(F32)
+        out = _composite_entities_gather(gd, cfg, state, pack, out, "neg")
+        out = render_grid_over(gd, cfg, state, pack, out)
+        out = _composite_entities_gather(gd, cfg, state, pack, out, "nonneg")
+    else:
+        out = render_static_env(gd, cfg, state, pack).astype(F32)
+        out = _composite_entities_gather(gd, cfg, state, pack, out)
     out = _paint_vel_info(gd, cfg, state, out)
     return jnp.clip(out + 0.5, 0, 255).astype(jnp.uint8)
 
@@ -341,3 +414,276 @@ def render_frame(gd, cfg, state: EnvState, pack) -> jax.Array:
     out = _composite_entities_matmul(gd, cfg, state, pack, out)
     out = _paint_vel_info(gd, cfg, state, out)
     return jnp.clip(out + 0.5, 0, 255).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Fast paths: mip-atlas matmul sampling, batched over envs
+# ---------------------------------------------------------------------------
+
+
+def render_static_fast(gd, cfg, state: EnvState, pack) -> jax.Array:
+    """Matmul/mip formulation of the static layer (single env; vmap-lifted).
+
+    Background: the scaled blit is axis-aligned, so nearest sampling is
+    separable; the background index folds into the row one-hot over the
+    flattened mip stack.  Grid: the cell-type field upsamples to per-pixel
+    slots with two one-hot matmuls, then each sprite slot is sampled
+    separably and selected per pixel.  Not valid for center-agent games
+    (window/OOB semantics differ); callers dispatch to the gather path.
+    """
+    BR = pack.bg_res
+    NB = pack.bg_mips.shape[0]
+    R = pack.sprite_res
+    n_slots = pack.sprite_mips.shape[0]
+
+    SX, SY, wx, wy = _pixel_world_coords(state)
+    sxv = SX[0]  # (64,) column centers
+    syv = SY[:, 0]  # (64,) row centers
+    wxv = wx[0]
+    wyv = wy[:, 0]
+    mw = state.main_width.astype(F32)
+    mh = state.main_height.astype(F32)
+    unit, view_dim = state.unit, state.view_dim
+    x_off, y_off = state.x_off, state.y_off
+
+    out = jnp.zeros((RES, RES, 3), F32)
+
+    if cfg.use_backgrounds:
+        bg_flat = jnp.asarray(
+            pack.bg_mips.reshape(NB * BR, BR * 3), jnp.uint8
+        ).astype(F32)
+        bg_dims = jnp.asarray(pack.bg_dims)
+        bgi = state.background_index
+        bgw = bg_dims[bgi, 0].astype(F32)
+        bgh = bg_dims[bgi, 1].astype(F32)
+        m_x0 = -x_off
+        m_y0 = (view_dim - mh) * unit + y_off
+        m_w = mw * unit
+        m_h = mh * unit
+        bg_ar = bgw / bgh
+        world_ar = mw / mh
+        offset_x = state.bg_pct_x * (bg_ar - world_ar)
+        bx0 = m_x0 + m_w * (-offset_x)
+        bw = m_w * (bg_ar / world_ar)
+        u = (sxv - bx0) / bw  # (64,)
+        v = (syv - m_y0) / m_h
+        in_x = (u >= 0) & (u < 1)
+        in_y = (v >= 0) & (v < 1)
+        su = jnp.clip((u * BR).astype(I32), 0, BR - 1)
+        sv = jnp.clip((v * BR).astype(I32), 0, BR - 1)
+        rows = bgi * BR + sv
+        ohy = (
+            (jnp.arange(NB * BR)[None, :] == rows[:, None]) & in_y[:, None]
+        ).astype(F32)
+        ohx = ((jnp.arange(BR)[:, None] == su[None, :]) & in_x[None, :]).astype(F32)
+        tmp = jnp.einsum(
+            "yr,rc->yc", ohy, bg_flat, preferred_element_type=jnp.float32
+        ).reshape(RES, BR, 3)
+        out = jnp.einsum(
+            "ybc,bx->yxc", tmp, ohx, preferred_element_type=jnp.float32
+        )
+
+    if not getattr(gd, "grid_dynamic", False):
+        out = _grid_fast_one(gd, cfg, state, pack, out)
+    return jnp.clip(out + 0.5, 0, 255).astype(jnp.uint8)
+
+
+def _grid_fast_one(gd, cfg, state: EnvState, pack, out) -> jax.Array:
+    """Matmul grid-tile pass over an f32 canvas (single env)."""
+    R = pack.sprite_res
+    n_slots = pack.sprite_mips.shape[0]
+    _, _, wx, wy = _pixel_world_coords(state)
+    wxv = wx[0]
+    wyv = wy[:, 0]
+
+    grid_slot_lut = jnp.asarray(pack.grid_slot_lut)
+    Hm, Wm = state.grid.shape
+    slot_grid = grid_slot_lut[
+        jnp.clip(state.grid, 0, grid_slot_lut.shape[0] - 1)
+    ].astype(F32)
+    cxi = jnp.floor(wxv + RENDER_EPS).astype(I32)  # (64,)
+    cyi = jnp.floor(wyv + RENDER_EPS).astype(I32)
+    in_cx = (cxi >= 0) & (cxi < state.main_width)
+    in_cy = (cyi >= 0) & (cyi < state.main_height)
+    ohgy = (
+        (jnp.arange(Hm)[None, :] == cyi[:, None]) & in_cy[:, None]
+    ).astype(F32)
+    ohgx = ((jnp.arange(Wm)[:, None] == cxi[None, :]) & in_cx[None, :]).astype(F32)
+    slot_pix = jnp.einsum(
+        "yh,hw,wx->yx", ohgy, slot_grid, ohgx, preferred_element_type=jnp.float32
+    ).astype(I32)  # 0 = nothing, k = sprite slot k-1
+
+    cu = (wxv - (cxi.astype(F32) - RENDER_EPS)) / (1 + 2 * RENDER_EPS)
+    cv = ((cyi.astype(F32) + 1 + RENDER_EPS) - wyv) / (1 + 2 * RENDER_EPS)
+    tsu = jnp.clip((jnp.clip(cu, 0.0, 0.9999) * R).astype(I32), 0, R - 1)
+    tsv = jnp.clip((jnp.clip(cv, 0.0, 0.9999) * R).astype(I32), 0, R - 1)
+    ohty = (jnp.arange(R)[None, :] == tsv[:, None]).astype(F32)  # (64, R)
+    ohtx = (jnp.arange(R)[:, None] == tsu[None, :]).astype(F32)  # (R, 64)
+    mips = jnp.asarray(pack.sprite_mips).astype(F32)  # (n, R, R, 4)
+    # sample every slot separably (few slots per game), select per pixel
+    sampled = jnp.einsum(
+        "ys,nswc,wx->nyxc", ohty, mips, ohtx, preferred_element_type=jnp.float32
+    )  # (n, 64, 64, 4)
+    sel = (
+        slot_pix[None, :, :] == (jnp.arange(n_slots) + 1)[:, None, None]
+    ).astype(F32)
+    tex = jnp.einsum("nyx,nyxc->yxc", sel, sampled)
+    a = tex[..., 3] / 255.0
+    return tex[..., :3] * a[..., None] + out * (1 - a[..., None])
+
+
+def render_static_dispatch(gd, cfg, state: EnvState, pack) -> jax.Array:
+    """Static layer: fast matmul path for fixed-view games, exact gather
+    path for center-agent games."""
+    if gd.center_agent(cfg):
+        return render_static_env(gd, cfg, state, pack)
+    return render_static_fast(gd, cfg, state, pack)
+
+
+def render_frames(gd, cfg, states: EnvState, pack) -> jax.Array:
+    """Batched per-step frames: (N, 64, 64, 3) uint8.
+
+    Entities composite over the cached static layer.  Per sprite, only a
+    ``gd.sprite_tile``-sized screen tile is touched: the sprite samples into
+    the tile via bf16 one-hot matmuls (exact -- texel values <= 255 are
+    representable and each output receives exactly one product, accumulated
+    in f32), then blends through dynamic slices.  The draw loop's trip count
+    is the *max alive count* across the batch, so capacity padding costs
+    nothing."""
+    if gd.center_agent(cfg):
+        return jax.vmap(lambda s: render_env(gd, cfg, s, pack))(states)
+
+    R = pack.sprite_res
+    T = getattr(gd, "sprite_tile", 16)
+    # bf16 one-hot dots are exact here (texels <= 255, one product per
+    # output) and 2x the MXU rate; XLA:CPU lacks bf16 dot support.
+    BF = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    mips = jnp.asarray(pack.sprite_mips).astype(BF)  # (n, R, R, 4)
+    slot_lut = jnp.asarray(pack.slot_lut)
+    ents = states.ents
+    N, E = ents.x.shape
+    out = states.static_layer.astype(F32)
+
+    key = (ents.render_z + 1) * E + jnp.arange(E)[None, :]
+    key = jnp.where(ents.alive, key, 10 * E + jnp.arange(E)[None, :])
+    order = jnp.argsort(key, axis=-1)  # (N, E)
+    kmax = jnp.max(jnp.sum(ents.alive, axis=-1))
+
+    tloc = jnp.arange(T, dtype=F32)
+    rows = jnp.arange(N)
+    unit = states.unit
+    view_dim = states.view_dim
+
+    def draw_k_class(k, out, z_filter):
+        i = order[:, k]  # (N,)
+
+        def g(field):
+            return getattr(ents, field)[rows, i]
+
+        ok = g("alive")
+        if z_filter == "neg":
+            ok = ok & (g("render_z") < 0)
+        elif z_filter == "nonneg":
+            ok = ok & (g("render_z") >= 0)
+        x, y, rx, ry = g("x"), g("y"), g("rx"), g("ry")
+        abs_c = g("use_abs_coords")
+        r_x0 = jnp.where(
+            abs_c, view_dim * (x - rx) * unit, (x - rx) * unit - states.x_off
+        )
+        r_y0 = jnp.where(
+            abs_c,
+            view_dim * (y + ry) * unit,
+            (view_dim - (y + ry)) * unit + states.y_off,
+        )
+        r_w = jnp.where(abs_c, 2 * view_dim * rx * unit, 2 * rx * unit)
+        r_h = jnp.where(abs_c, 2 * view_dim * ry * unit, 2 * ry * unit)
+
+        img_t = g("image_type")
+        e_slot = slot_lut[
+            jnp.clip(img_t, 0, O.MAX_ASSETS - 1), jnp.clip(g("image_theme"), 0, 9)
+        ]
+        ok = ok & (img_t >= 0) & (img_t < O.MAX_ASSETS) & (e_slot >= 0)
+
+        # screen tile containing the sprite (sprites larger than T px are a
+        # per-game misconfiguration; sizes are bounded by world geometry)
+        tx = jnp.clip(jnp.floor(r_x0).astype(I32), 0, RES - T)
+        ty = jnp.clip(jnp.floor(r_y0).astype(I32), 0, RES - T)
+        gx = tx[:, None].astype(F32) + tloc[None, :] + 0.5  # (N, T) pixel centers
+        gy = ty[:, None].astype(F32) + tloc[None, :] + 0.5
+
+        u = (gx - r_x0[:, None]) / r_w[:, None]  # (N, T)
+        v = (gy - r_y0[:, None]) / r_h[:, None]
+        in_x = (u >= 0) & (u < 1)
+        in_y = (v >= 0) & (v < 1)
+        su = jnp.clip((jnp.clip(u, 0.0, 0.9999) * R).astype(I32), 0, R - 1)
+        sv = jnp.clip((jnp.clip(v, 0.0, 0.9999) * R).astype(I32), 0, R - 1)
+        su = jnp.where(g("is_reflected")[:, None], R - 1 - su, su)
+
+        ohy = (
+            (jnp.arange(R)[None, None, :] == sv[:, :, None])
+            & in_y[:, :, None]
+            & ok[:, None, None]
+        ).astype(BF)  # (N, T, R)
+        ohx = (
+            (jnp.arange(R)[None, :, None] == su[:, None, :]) & in_x[:, None, :]
+        ).astype(BF)  # (N, R, T)
+        tex = mips[jnp.clip(e_slot, 0)]  # (N, R, R, 4)
+        tmp = jnp.einsum(
+            "nys,nswc->nywc", ohy, tex, preferred_element_type=jnp.float32
+        )
+        spr = jnp.einsum(
+            "nywc,nwx->nyxc",
+            tmp.astype(BF),
+            ohx,
+            preferred_element_type=jnp.float32,
+        )  # (N, T, T, 4)
+        a = spr[..., 3] / 255.0 * g("alpha")[:, None, None]
+
+        tile_old = jax.vmap(
+            lambda o, yy, xx: jax.lax.dynamic_slice(o, (yy, xx, 0), (T, T, 3))
+        )(out, ty, tx)
+        tile_new = spr[..., :3] * a[..., None] + tile_old * (1 - a[..., None])
+        return jax.vmap(
+            lambda o, t, yy, xx: jax.lax.dynamic_update_slice(o, t, (yy, xx, 0))
+        )(out, tile_new, ty, tx)
+
+    if getattr(gd, "grid_dynamic", False):
+        # static cache holds the background only; draw under-grid entities,
+        # then the grid (fresh each frame), then the rest (bag.cpp:921-958).
+        out = jax.lax.fori_loop(
+            0, kmax, lambda k, o: draw_k_class(k, o, "neg"), out
+        )
+        out = jax.vmap(
+            lambda s, o: _grid_fast_one(gd, cfg, s, pack, o)
+        )(states, out)
+        out = jax.lax.fori_loop(
+            0, kmax, lambda k, o: draw_k_class(k, o, "nonneg"), out
+        )
+    else:
+        out = jax.lax.fori_loop(
+            0, kmax, lambda k, o: draw_k_class(k, o, "all"), out
+        )
+    out = _paint_vel_info_batched(gd, cfg, states, out)
+    return jnp.clip(out + 0.5, 0, 255).astype(jnp.uint8)
+
+
+def _paint_vel_info_batched(gd, cfg, states, out):
+    if not (gd.has_useful_vel_info and cfg.paint_vel_info):
+        return out
+    ents = states.ents
+    SX = (jnp.arange(RES, dtype=F32) + 0.5)[None, :]
+    SY = (jnp.arange(RES, dtype=F32) + 0.5)[:, None]
+    infodim = F32(RES * 0.2)
+    s1 = jnp.clip(
+        ((0.5 * ents.vx[:, eo.AGENT] / states.maxspeed + 0.5) * 255).astype(I32),
+        0, 255,
+    ).astype(F32)
+    s2 = jnp.clip(
+        ((0.5 * ents.vy[:, eo.AGENT] / states.max_jump + 0.5) * 255).astype(I32),
+        0, 255,
+    ).astype(F32)
+    in1 = ((SX < infodim) & (SY < infodim))[None, ..., None]
+    in2 = ((SX >= infodim) & (SX < 2 * infodim) & (SY < infodim))[None, ..., None]
+    out = jnp.where(in1, s1[:, None, None, None], out)
+    out = jnp.where(in2, s2[:, None, None, None], out)
+    return out

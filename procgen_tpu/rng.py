@@ -173,12 +173,137 @@ def mt_randbool(mt: MT, active=None) -> tuple[MT, jax.Array]:
     return mt, r > jnp.float32(0.5)
 
 
-def mt_randrange(mt: MT, low, high, active=None) -> tuple[MT, jax.Array]:
-    """``RandGen::randrange`` = rand01() * (high - low) + low, float32."""
-    mt, r = mt_rand01(mt, active)
+def _randrange_value(r, low, high):
+    """rand01() * (high - low) + low with *separate* float32 roundings.
+
+    The reference is compiled for ivybridge (no FMA, CMakeLists.txt:30), so
+    the multiply and add must round separately.  XLA's optimization_barrier
+    does not survive CPU codegen (LLVM contracts mul+add inside a fusion into
+    fmuladd), but LLVM only forms fmuladd when the multiply has a single use
+    -- so the select below, whose predicate r >= 0 is data-dependent yet
+    always true, keeps a second live use of the product and pins the unfused
+    rounding (regression-tested against libstdc++/no-FMA in test_rng.py)."""
     low = jnp.asarray(low, jnp.float32)
     high = jnp.asarray(high, jnp.float32)
-    return mt, r * (high - low) + low
+    prod = r * (high - low)
+    v = prod + low
+    # r is in [0, 1), so the predicate always holds, but XLA cannot prove it
+    # (unlike r >= 0, which its range analysis folds away).
+    return jnp.where(r != jnp.float32(2.0), v, prod)
+
+
+def mt_randrange(mt: MT, low, high, active=None) -> tuple[MT, jax.Array]:
+    """``RandGen::randrange`` (randgen.cpp:29-31)."""
+    mt, r = mt_rand01(mt, active)
+    return mt, _randrange_value(r, low, high)
+
+
+# ---------------------------------------------------------------------------
+# Block-prefetch API: for draw-heavy sections (level generation).
+#
+# Opening a block materializes the twist chain once and tempers a window of
+# up to ``max_draws`` upcoming outputs; draws then cost one tiny gather and a
+# masked cursor bump (no per-draw conditional twist over the whole batch).
+# Closing commits the consumed count back into an exact MT state, so the
+# stream is bit-identical to calling mt_raw() the same number of times.
+# ---------------------------------------------------------------------------
+
+
+class MTBlock(NamedTuple):
+    vals: jax.Array  # uint32[..., M] tempered outputs at offsets 0..M-1
+    cursor: jax.Array  # int32[...] consumed draws
+    keys: jax.Array  # uint32[..., T, 624] twist chain (keys[0] = entry key)
+    pos: jax.Array  # int32[...] entry position
+
+
+def mt_block_open(mt: MT, max_draws: int) -> MTBlock:
+    """Prefetch up to ``max_draws`` outputs (exact window of the stream)."""
+    n_chain = (624 + max_draws - 1) // 624 + 1  # keys needed incl. entry
+    chain = [mt.key]
+    for _ in range(n_chain - 1):
+        chain.append(_twist(chain[-1]))
+    keys = jnp.stack(chain, axis=-2)  # (..., T, 624)
+    flat = _temper(keys.reshape(keys.shape[:-2] + (n_chain * 624,)))
+    idx = mt.pos[..., None] + jnp.arange(max_draws, dtype=jnp.int32)
+    vals = jnp.take_along_axis(flat, idx, axis=-1)
+    return MTBlock(
+        vals=vals,
+        cursor=jnp.zeros_like(mt.pos),
+        keys=keys,
+        pos=mt.pos,
+    )
+
+
+def mt_block_close(blk: MTBlock) -> MT:
+    """Commit the cursor: the returned MT equals drawing ``cursor`` times."""
+    total = blk.pos + blk.cursor
+    crossed = jnp.where(blk.cursor > 0, (total - 1) // N, 0)
+    new_pos = total - crossed * N
+    new_key = jnp.take_along_axis(
+        blk.keys, crossed[..., None, None].astype(jnp.int32), axis=-2
+    )[..., 0, :]
+    return MT(key=new_key, pos=new_pos)
+
+
+def blk_raw(blk: MTBlock, active=None) -> tuple[MTBlock, jax.Array]:
+    cur = jnp.minimum(blk.cursor, blk.vals.shape[-1] - 1)
+    v = jnp.take_along_axis(blk.vals, cur[..., None], axis=-1)[..., 0]
+    inc = jnp.asarray(1, jnp.int32) if active is None else jnp.asarray(
+        active, jnp.int32
+    )
+    return blk._replace(cursor=blk.cursor + inc), v
+
+
+def blk_overflowed(blk: MTBlock) -> jax.Array:
+    """True where more draws were consumed than prefetched (stream would be
+    wrong; sized per game so this cannot happen in-distribution)."""
+    return blk.cursor > blk.vals.shape[-1]
+
+
+# ---------------------------------------------------------------------------
+# Generic draw-source dispatch: levelgen/step code draws through rs_* and
+# works with either a raw MT state or an open MTBlock.
+# ---------------------------------------------------------------------------
+
+
+def rs_raw(rs, active=None):
+    if isinstance(rs, MTBlock):
+        return blk_raw(rs, active)
+    return mt_raw(rs, active)
+
+
+def rs_randint(rs, low, high, active=None):
+    rs, x = rs_raw(rs, active)
+    low = jnp.asarray(low, jnp.int32)
+    high = jnp.asarray(high, jnp.int32)
+    rng_range = (high - low).astype(jnp.uint32)
+    return rs, (low + (x % rng_range).astype(jnp.int32)).astype(jnp.int32)
+
+
+def rs_randn(rs, high, active=None):
+    rs, x = rs_raw(rs, active)
+    high_u = jnp.asarray(high, jnp.int32).astype(jnp.uint32)
+    return rs, (x % high_u).astype(jnp.int32)
+
+
+def rs_randint_full(rs, active=None):
+    rs, x = rs_raw(rs, active)
+    return rs, x.astype(jnp.int32)
+
+
+def rs_rand01(rs, active=None):
+    rs, x = rs_raw(rs, active)
+    return rs, x.astype(jnp.float32) * _INV_2_32
+
+
+def rs_randbool(rs, active=None):
+    rs, r = rs_rand01(rs, active)
+    return rs, r > jnp.float32(0.5)
+
+
+def rs_randrange(rs, low, high, active=None):
+    rs, r = rs_rand01(rs, active)
+    return rs, _randrange_value(r, low, high)
 
 
 def mt_select(pred: jax.Array, a: MT, b: MT) -> MT:

@@ -18,7 +18,7 @@ def rollout(env, steps, seed=0):
     return np.stack(obs), np.stack(rews), np.stack(firsts)
 
 
-@pytest.mark.parametrize("env_name", ["maze", "bigfish"])
+@pytest.mark.parametrize("env_name", ["maze", "bigfish", "miner"])
 def test_determinism(env_name):
     """env_test.py:33-52: identical rollouts at fixed rand_seed."""
     kwargs = dict(num=2, env_name=env_name, rand_seed=23, distribution_mode="easy")
@@ -102,3 +102,28 @@ def test_observation_space():
     assert ob["rgb"].dtype == np.uint8
     assert rew.shape == (3,)
     assert first.all()  # initial observe has first=True (gym3 contract)
+
+
+def test_miner_digging_and_gravity():
+    env = ProcgenTPUEnv(num=4, env_name="miner", rand_seed=5, distribution_mode="easy")
+    g0 = np.asarray(env.state.grid)
+    space0 = (g0 == 100).sum()
+    rng = np.random.RandomState(2)
+    for _ in range(40):
+        env.act(rng.randint(0, 15, size=4))
+    g1 = np.asarray(env.state.grid)
+    assert (g1 == 100).sum() > space0, "no digging happened"
+    # gravity invariant: no boulder/diamond may hang over SPACE unless the
+    # agent stands below or it is mid-fall (moving type handled next sweep)
+    st = env.state
+    for i in range(4):
+        grid = g1[i]
+        ax = int(np.asarray(st.ents.x[i, 0]))
+        ay = int(np.asarray(st.ents.y[i, 0]))
+        H, W = grid.shape
+        for y in range(1, H):
+            for x in range(W):
+                if grid[y, x] in (1, 2):  # settled boulder/diamond
+                    below = grid[y - 1, x]
+                    if below == 100 and not (ax == x and ay == y - 1):
+                        raise AssertionError(f"floating object at {x},{y} env {i}")

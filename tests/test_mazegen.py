@@ -69,9 +69,12 @@ def test_maze_levelgen_matches_oracle(maze_oracle, mode, world_dim, seedbase):
     # hard, so call game_reset directly with rng seeded like the oracle.
     def direct_reset(seed):
         st = jax.tree_util.tree_map(lambda x: x, tmpl)
-        st = st.replace(rng=R.mt_seed(jnp.asarray(seed, jnp.int32)))
         st = gd.choose_world_dim(cfg, st)
-        return gd.game_reset(cfg, st)
+        rs = R.mt_block_open(
+            R.mt_seed(jnp.asarray(seed, jnp.int32)), gd.reset_max_draws
+        )
+        st, rs = gd.game_reset(cfg, st, rs)
+        return st.replace(rng=R.mt_block_close(rs))
 
     states = jax.jit(jax.vmap(direct_reset))(jnp.asarray(seeds, jnp.int32))
 
