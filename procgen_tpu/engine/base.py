@@ -183,6 +183,13 @@ class GameDef:
         """bag.cpp:664-667: view center when options.center_agent."""
         return state.ents.x[eo.AGENT], state.ents.y[eo.AGENT]
 
+    # ---- state codec hooks (per-game serialize extras, SURVEY 2.2 col 5) ----
+    def serialize_extra(self, w, s, i) -> None:
+        pass
+
+    def deserialize_extra(self, r) -> dict:
+        return {}
+
 
 # ---------------------------------------------------------------------------
 # BasicAbstractGame::game_reset (bag.cpp:758-797)

@@ -192,6 +192,41 @@ class ProcgenTPUEnv:
             for i in range(self.num)
         ]
 
+    # ------------------------------------------------------------------
+    # state save/restore (env.py:140-153 / vecgame.cpp:437-457)
+    # ------------------------------------------------------------------
+
+    def get_state(self) -> list[bytes]:
+        from procgen_tpu.utils import serialize as ser
+
+        return ser.get_state(self.gd, self.cfg, self.state)
+
+    def set_state(self, blobs: list[bytes]) -> None:
+        from procgen_tpu.utils import serialize as ser
+
+        assert len(blobs) == self.num
+        self.state = ser.set_state(self.gd, self.cfg, self.state, blobs)
+        # re-render so buffers are consistent (vecgame.cpp:455)
+        self.state = jax.jit(
+            jax.vmap(
+                lambda s: s.replace(
+                    static_layer=render_static_dispatch(
+                        self.gd, self.cfg, s, self.pack
+                    )
+                )
+            )
+        )(self.state)
+        self._obs = self._render() if self._do_render else None
+
+    def callmethod(self, method: str, *args):
+        """gym3 callmethod surface for get_state/set_state."""
+        if method == "get_state":
+            return self.get_state()
+        if method == "set_state":
+            self.set_state(args[0])
+            return None
+        raise AttributeError(method)
+
     @property
     def ob_space(self):
         return {"rgb": ("uint8", (64, 64, 3))}

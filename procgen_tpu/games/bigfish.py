@@ -168,4 +168,13 @@ class BigFish(GameDef):
         )
 
 
+    def serialize_extra(self, w, s, i):
+        # bigfish.cpp:108-112
+        w.write_int(int(s["extra.fish_eaten"][i]))
+        w.write_float(s["extra.r_inc"][i])
+
+    def deserialize_extra(self, r):
+        return {"fish_eaten": r.read_int(), "r_inc": r.read_float()}
+
+
 register_game("bigfish")(BigFish)

@@ -329,4 +329,12 @@ class MinerGame(GameDef):
         )
 
 
+    def serialize_extra(self, w, s, i):
+        # miner.cpp:316-319
+        w.write_int(int(s["extra.diamonds_remaining"][i]))
+
+    def deserialize_extra(self, r):
+        return {"diamonds_remaining": r.read_int()}
+
+
 register_game("miner")(MinerGame)
