@@ -73,6 +73,19 @@ class GameDef:
 
     # ---- rendering declarations ----
     background_group: str = "topdown_backgrounds"
+    # "none": sprites never rotate; "axis": only multiples of 90 degrees
+    # (fast separable path); "free": arbitrary angles (gather path)
+    entity_rotations: str = "none"
+
+    def image_rect_adjust(self, img_type):
+        """get_adjusted_image_rect (bag.cpp:807-809): per-image-type dest
+        rect adjustment as (ox, oy, sw, sh) fractions, or None."""
+        return None
+
+    def tile_ratio_for(self, img_type):
+        """get_tile_aspect_ratio (bag.cpp:409-411) vectorized over image
+        types; None when the game never tiles."""
+        return None
 
     @property
     def num_backgrounds(self) -> int:

@@ -213,7 +213,7 @@ def decode_png(name: str) -> np.ndarray:
         if ctype == b"IHDR":
             w, h, bit_depth, color_type = struct.unpack(">IIBB", chunk[:10])
             interlace = chunk[12]
-            assert bit_depth == 8, (name, bit_depth)
+            assert bit_depth in (1, 2, 4, 8), (name, bit_depth)
             assert interlace == 0, name
         elif ctype == b"PLTE":
             palette = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
@@ -225,8 +225,8 @@ def decode_png(name: str) -> np.ndarray:
             break
     raw = zlib.decompress(b"".join(idat))
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    stride = w * channels
-    bpp = channels
+    stride = (w * channels * bit_depth + 7) // 8
+    bpp = max(1, channels * bit_depth // 8)
     lib = _native_unfilter()
     if lib is not None:
         out = np.zeros((h, stride), np.uint8)
@@ -267,7 +267,18 @@ def decode_png(name: str) -> np.ndarray:
                     out[y, x] = (int(line[x]) + int(_paeth(left, up, ul))) & 0xFF
             else:
                 raise ValueError(f"bad filter {f} in {name}")
-    img = out.reshape(h, w, channels)
+    if bit_depth < 8:
+        # sub-byte depths occur only for gray/palette (channels == 1)
+        bits = np.unpackbits(out, axis=1)[:, : w * bit_depth]
+        vals = bits.reshape(h, w, bit_depth)
+        weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint16)
+        idx = (vals * weights).sum(axis=2)
+        if color_type == 0:
+            idx = (idx * (255 // ((1 << bit_depth) - 1))).astype(np.uint8)
+        out = idx.astype(np.uint8).reshape(h, w)
+        img = out.reshape(h, w, channels)
+    else:
+        img = out.reshape(h, w, channels)
     if color_type == 0:
         rgba = np.dstack([img[..., 0]] * 3 + [np.full((h, w), 255, np.uint8)])
     elif color_type == 2:

@@ -288,6 +288,14 @@ def _composite_entities_gather(gd, cfg, state, pack, out, z_filter="all"):
         ]
         ok = ok & (img_t >= 0) & (img_t < O.MAX_ASSETS) & (e_slot >= 0)
 
+        adj = gd.image_rect_adjust(img_t)
+        if adj is not None:
+            aox, aoy, asw, ash = adj
+            r_x0 = r_x0 + r_w * aox
+            r_y0 = r_y0 + r_h * aoy
+            r_w = r_w * asw
+            r_h = r_h * ash
+
         rot = ents.rotation[i]
         cxp = r_x0 + r_w / 2
         cyp = r_y0 + r_h / 2
@@ -300,6 +308,19 @@ def _composite_entities_gather(gd, cfg, state, pack, out, z_filter="all"):
         u = (lx + r_w / 2) / r_w
         v = (ly + r_h / 2) / r_h
         inside = (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
+        ratio = gd.tile_ratio_for(img_t)
+        if ratio is not None:
+            n_th = jnp.maximum(
+                jnp.where(ratio > 0, (r_w / (r_h * jnp.abs(ratio) + 1e-9)).astype(I32), 1), 1
+            )
+            n_tv = jnp.maximum(
+                jnp.where(ratio < 0, (r_h / (r_w * jnp.abs(ratio) + 1e-9)).astype(I32), 1), 1
+            )
+            unrot = rot == 0
+            uraw = u * n_th.astype(F32)
+            u = jnp.where(unrot & (ratio > 0), uraw - jnp.floor(uraw), u)
+            vraw = v * n_tv.astype(F32)
+            v = jnp.where(unrot & (ratio < 0), vraw - jnp.floor(vraw), v)
         rgb, a = _sample_atlas(
             atlas, dims, e_slot, jnp.clip(u, 0.0, 0.9999),
             jnp.clip(v, 0.0, 0.9999), ents.is_reflected[i],
@@ -604,20 +625,104 @@ def render_frames(gd, cfg, states: EnvState, pack) -> jax.Array:
         ]
         ok = ok & (img_t >= 0) & (img_t < O.MAX_ASSETS) & (e_slot >= 0)
 
-        # screen tile containing the sprite (sprites larger than T px are a
-        # per-game misconfiguration; sizes are bounded by world geometry)
-        tx = jnp.clip(jnp.floor(r_x0).astype(I32), 0, RES - T)
-        ty = jnp.clip(jnp.floor(r_y0).astype(I32), 0, RES - T)
+        # per-game dest-rect adjustment (get_adjusted_image_rect)
+        adj = gd.image_rect_adjust(img_t)
+        if adj is not None:
+            aox, aoy, asw, ash = adj
+            r_x0 = r_x0 + r_w * aox
+            r_y0 = r_y0 + r_h * aoy
+            r_w = r_w * asw
+            r_h = r_h * ash
+
+        # axis-aligned rotation class (0, 90, 180, 270 degrees); arbitrary
+        # angles use the gather path (gd.entity_rotations == "free")
+        if gd.entity_rotations == "axis":
+            HALF_PI = F32(np.pi / 2)
+            rk = jnp.round(g("rotation") / HALF_PI).astype(I32) % 4
+            c_lut = jnp.asarray([1.0, 0.0, -1.0, 0.0], F32)
+            s_lut = jnp.asarray([0.0, 1.0, 0.0, -1.0], F32)
+            rc = c_lut[rk]
+            rs = s_lut[rk]
+            swap = (rk % 2) == 1
+        else:
+            rc = jnp.ones_like(r_w)
+            rs = jnp.zeros_like(r_w)
+            swap = jnp.zeros_like(ok)
+
+        cx = r_x0 + r_w / 2
+        cy = r_y0 + r_h / 2
+        # rotated sprite's screen bounding box (w/h swap for 90/270)
+        bb_w = jnp.where(swap, r_h, r_w)
+        bb_h = jnp.where(swap, r_w, r_h)
+        tx = jnp.clip(jnp.floor(cx - bb_w / 2).astype(I32), 0, RES - T)
+        ty = jnp.clip(jnp.floor(cy - bb_h / 2).astype(I32), 0, RES - T)
         gx = tx[:, None].astype(F32) + tloc[None, :] + 0.5  # (N, T) pixel centers
         gy = ty[:, None].astype(F32) + tloc[None, :] + 0.5
+        dx = gx - cx[:, None]  # (N, T) along screen columns
+        dy = gy - cy[:, None]  # (N, T) along screen rows
 
-        u = (gx - r_x0[:, None]) / r_w[:, None]  # (N, T)
-        v = (gy - r_y0[:, None]) / r_h[:, None]
-        in_x = (u >= 0) & (u < 1)
-        in_y = (v >= 0) & (v < 1)
-        su = jnp.clip((jnp.clip(u, 0.0, 0.9999) * R).astype(I32), 0, R - 1)
-        sv = jnp.clip((jnp.clip(v, 0.0, 0.9999) * R).astype(I32), 0, R - 1)
-        su = jnp.where(g("is_reflected")[:, None], R - 1 - su, su)
+        # Inverse painter rotation: u = (c*dx + s*dy + w/2)/w,
+        # v = (-s*dx + c*dy + h/2)/h.  For the axis-aligned classes, u/v
+        # each depend on exactly one screen axis, keeping nearest sampling
+        # separable; 90/270 additionally swap texture axes (tex transpose).
+        row_coord = jnp.where(
+            swap[:, None],
+            (rs[:, None] * dy + r_w[:, None] / 2) / r_w[:, None],  # u (tex x)
+            (rc[:, None] * dy + r_h[:, None] / 2) / r_h[:, None],  # v (tex y)
+        )
+        col_coord = jnp.where(
+            swap[:, None],
+            (-rs[:, None] * dx + r_h[:, None] / 2) / r_h[:, None],  # v
+            (rc[:, None] * dx + r_w[:, None] / 2) / r_w[:, None],  # u
+        )
+
+        # inside test on the pre-tiling coordinates
+        in_x = (col_coord >= 0) & (col_coord < 1)
+        in_y = (row_coord >= 0) & (row_coord < 1)
+
+        # horizontal/vertical tiling (tile_image, bag.cpp:840-869); only for
+        # unrotated sprites, as in draw_image (bag.cpp:899-906)
+        ratio = gd.tile_ratio_for(img_t)
+        if ratio is not None:
+            n_th = jnp.maximum(
+                jnp.where(
+                    ratio > 0,
+                    (r_w / (r_h * jnp.abs(ratio) + 1e-9)).astype(I32),
+                    1,
+                ),
+                1,
+            )
+            n_tv = jnp.maximum(
+                jnp.where(
+                    ratio < 0,
+                    (r_h / (r_w * jnp.abs(ratio) + 1e-9)).astype(I32),
+                    1,
+                ),
+                1,
+            )
+            unrot = rk == 0 if gd.entity_rotations == "axis" else ok | True
+            do_h = unrot & (ratio > 0)
+            do_v = unrot & (ratio < 0)
+            uraw = col_coord * n_th[:, None].astype(F32)
+            col_coord = jnp.where(
+                do_h[:, None], uraw - jnp.floor(uraw), col_coord
+            )
+            vraw = row_coord * n_tv[:, None].astype(F32)
+            row_coord = jnp.where(
+                do_v[:, None], vraw - jnp.floor(vraw), row_coord
+            )
+
+        su = jnp.clip(
+            (jnp.clip(col_coord, 0.0, 0.9999) * R).astype(I32), 0, R - 1
+        )
+        sv = jnp.clip(
+            (jnp.clip(row_coord, 0.0, 0.9999) * R).astype(I32), 0, R - 1
+        )
+        # reflection mirrors the texture's x axis, which is indexed by the
+        # column one-hot normally and by the row one-hot when axes swapped
+        refl = g("is_reflected")
+        su = jnp.where((refl & ~swap)[:, None], R - 1 - su, su)
+        sv = jnp.where((refl & swap)[:, None], R - 1 - sv, sv)
 
         ohy = (
             (jnp.arange(R)[None, None, :] == sv[:, :, None])
@@ -628,6 +733,10 @@ def render_frames(gd, cfg, states: EnvState, pack) -> jax.Array:
             (jnp.arange(R)[None, :, None] == su[:, None, :]) & in_x[:, None, :]
         ).astype(BF)  # (N, R, T)
         tex = mips[jnp.clip(e_slot, 0)]  # (N, R, R, 4)
+        if gd.entity_rotations == "axis":
+            tex = jnp.where(
+                swap[:, None, None, None], jnp.swapaxes(tex, 1, 2), tex
+            )
         tmp = jnp.einsum(
             "nys,nswc->nywc", ohy, tex, preferred_element_type=jnp.float32
         )

@@ -18,7 +18,7 @@ def rollout(env, steps, seed=0):
     return np.stack(obs), np.stack(rews), np.stack(firsts)
 
 
-@pytest.mark.parametrize("env_name", ["maze", "bigfish", "miner"])
+@pytest.mark.parametrize("env_name", ["maze", "bigfish", "miner", "leaper"])
 def test_determinism(env_name):
     """env_test.py:33-52: identical rollouts at fixed rand_seed."""
     kwargs = dict(num=2, env_name=env_name, rand_seed=23, distribution_mode="easy")
@@ -127,3 +127,14 @@ def test_miner_digging_and_gravity():
                     below = grid[y - 1, x]
                     if below == 100 and not (ax == x and ay == y - 1):
                         raise AssertionError(f"floating object at {x},{y} env {i}")
+
+
+def test_leaper_hop_and_finish():
+    env = ProcgenTPUEnv(num=4, env_name="leaper", rand_seed=6, distribution_mode="easy")
+    # hop up repeatedly (action 7 = up in the 3x3 grid: vx 0, vy +1)
+    got = 0.0
+    for _ in range(60):
+        env.act(np.full(4, 5))  # UP (avx 0, avy +1)
+        rew, ob, first = env.observe()
+        got += rew.sum()
+    assert got > 0, "no env reached the finish line hopping straight up"

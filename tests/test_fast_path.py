@@ -32,7 +32,7 @@ def build(env_name, n, seed):
     return cfg, gd, batched
 
 
-@pytest.mark.parametrize("env_name,steps", [("maze", 250), ("bigfish", 120), ("miner", 100)])
+@pytest.mark.parametrize("env_name,steps", [("maze", 250), ("bigfish", 120), ("miner", 100), ("leaper", 80)])
 def test_fast_path_matches_inline(env_name, steps):
     n = 4
     cfg, gd, init_state = build(env_name, n, seed=31)

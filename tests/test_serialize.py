@@ -6,7 +6,7 @@ import pytest
 from procgen_tpu.env import ProcgenTPUEnv
 
 
-@pytest.mark.parametrize("env_name", ["maze", "bigfish", "miner"])
+@pytest.mark.parametrize("env_name", ["maze", "bigfish", "miner", "leaper"])
 def test_state_roundtrip_resumes_identically(env_name):
     """Snapshot mid-rollout, continue; restore into a *different* env (other
     rand_seed) and verify the remainder is identical (state_test.py:79-124)."""
