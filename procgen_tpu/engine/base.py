@@ -164,6 +164,31 @@ class GameDef:
     def is_blocked_ents(self, cfg, state, src_type, target_type, is_horizontal):
         return self.is_blocked(cfg, state, src_type, target_type, is_horizontal)
 
+    def is_blocked_ents_at(self, cfg, state, src_type, m, is_horizontal):
+        """is_blocked_ents for entity slot ``m`` (scalar path); games whose
+        blocking depends on more than the type (e.g. heist door themes)
+        override this."""
+        return self.is_blocked_ents(
+            cfg, state, src_type, state.ents.type[m], is_horizontal
+        )
+
+    def entity_draw_mask(self, cfg, state):
+        """should_draw_entity (bag.cpp:1048-1050) as a per-slot bool mask;
+        None means draw all alive entities."""
+        return None
+
+    def entity_image_override(self, cfg, state):
+        """Dynamic image_for_type for entities (e.g. chaser's enemy
+        animation, chaser.cpp:97-109): per-slot image types or None."""
+        return None
+
+    def grid_color_rect_lut(self, cfg):
+        """draw_grid_obj color-rect overrides (e.g. chaser's orbs,
+        chaser.cpp:111-117): None, or (dim_lut (T,), rgb_lut (T, 3)) numpy
+        arrays over grid types; dim > 0 fills a centered sub-rect of that
+        cell fraction with the color."""
+        return None
+
     def will_reflect(self, cfg, state, src_type, target_type):
         return jnp.asarray(False)
 

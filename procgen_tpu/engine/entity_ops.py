@@ -137,22 +137,25 @@ def reposition(
     h,
     check_collisions,
     exclude: Optional[jax.Array] = None,
+    active=True,
 ):
     """bag.cpp:541-560: rejection-sample a position (<= 100 retries).
 
     Returns (rs, px, py).  ``exclude`` masks out a slot from the
     any-collision test (used when repositioning an existing entity).
     The loop is a bounded fori with per-env active masking so each env
-    consumes exactly as many draws as the reference would.
+    consumes exactly as many draws as the reference would.  ``active``
+    gates all draws (for spawns that only happen in some envs).
     """
     ents = state.ents
+    active = jnp.asarray(active)
 
     def try_place(rs, active):
         rs, px = rand_pos(rs, rx, x, x + w, active)
         rs, py = rand_pos(rs, ry, y, y + h, active)
         return rs, px, py
 
-    rs, px, py = try_place(rs, True)
+    rs, px, py = try_place(rs, active)
 
     def bad(px, py):
         agent_hit = has_agent_collision_from(ents, px, py, rx, ry, type_, collision_margin)
@@ -162,15 +165,15 @@ def reposition(
         return agent_hit | jnp.logical_and(check_collisions, any_hit)
 
     def body(_, carry):
-        rs, px, py, active = carry
-        active = jnp.logical_and(active, bad(px, py))
-        rs, nx2 = rand_pos(rs, rx, x, x + w, active)
-        rs, ny2 = rand_pos(rs, ry, y, y + h, active)
-        px = jnp.where(active, nx2, px)
-        py = jnp.where(active, ny2, py)
-        return rs, px, py, active
+        rs, px, py, act = carry
+        act = jnp.logical_and(act, bad(px, py))
+        rs, nx2 = rand_pos(rs, rx, x, x + w, act)
+        rs, ny2 = rand_pos(rs, ry, y, y + h, act)
+        px = jnp.where(act, nx2, px)
+        py = jnp.where(act, ny2, py)
+        return rs, px, py, act
 
-    rs, px, py, _ = jax.lax.fori_loop(0, 100, body, (rs, px, py, jnp.asarray(True)))
+    rs, px, py, _ = jax.lax.fori_loop(0, 100, body, (rs, px, py, active))
     return rs, px, py
 
 
@@ -183,7 +186,7 @@ def spawn_entity_rxy(
     fields = make_entity(0.0, 0.0, 0.0, 0.0, rx, ry, type_)
     rs, px, py = reposition(
         rs, state, rx, ry, type_, fields["collision_margin"], x, y, w, h,
-        check_collisions,
+        check_collisions, active=active,
     )
     fields["x"] = px
     fields["y"] = py

@@ -159,6 +159,182 @@ def generate_maze(mt: R.MT, maze_dim, max_dim: int) -> MazeResult:
     return MazeResult(mt, grid, free_cells, num_free)
 
 
+def _neighbor_vals(grid):
+    """Values of the 4-neighbors in reference push order (mazegen.cpp:48-67):
+    left (x-1), up (y-1), down (y+1), right (x+1).  Out-of-array neighbors
+    read INVALID_OBJ (the reference's border get_obj, mazegen.cpp:36-45)."""
+    AD = grid.shape[0]
+    inv_c = jnp.full((AD, 1), O.INVALID_OBJ, I32)
+    inv_r = jnp.full((1, AD), O.INVALID_OBJ, I32)
+    left = jnp.concatenate([inv_c, grid[:, :-1]], axis=1)
+    up = jnp.concatenate([inv_r, grid[:-1, :]], axis=0)
+    down = jnp.concatenate([grid[1:, :], inv_r], axis=0)
+    right = jnp.concatenate([grid[:, 1:], inv_c], axis=1)
+    return left, up, down, right
+
+
+def _dilate(vis):
+    out = vis
+    out = out.at[:, 1:].set(out[:, 1:] | vis[:, :-1])
+    out = out.at[:, :-1].set(out[:, :-1] | vis[:, 1:])
+    out = out.at[1:, :].set(out[1:, :] | vis[:-1, :])
+    out = out.at[:-1, :].set(out[:-1, :] | vis[1:, :])
+    return out
+
+
+def generate_maze_with_doors(
+    rs, num_doors, maze_dim, max_dim: int, max_doors: int = 3
+):
+    """mazegen.cpp:211-289: perfect maze + sequential door/key placement.
+
+    ``num_doors`` traced (<= max_doors).  Returns (rs, grid) where grid is the
+    (max_dim+2, max_dim+2) [y, x] array containing WALL_OBJ / SPACE /
+    AGENT_OBJ / EXIT_OBJ / DOOR_OBJ+k / KEY_OBJ+k.
+
+    The reference's ``std::set`` BFS (``expand_to_type``) iterates waves in
+    ascending cell order; door discovery is therefore "minimum (BFS-wave,
+    cell-index) among cells adjacent to an unnumbered door", reproduced here
+    with mask dilation; the n-th-smallest-element draw of ``choose_one`` over
+    a set maps to ``choose_nth_masked``.
+    """
+    from procgen_tpu.engine.rand_util import choose_n_erase, choose_nth_masked
+
+    res = generate_maze(rs, maze_dim, max_dim)
+    rs = res.rng
+    AD = max_dim + 2
+    grid = res.grid
+    md = jnp.asarray(maze_dim, I32)
+
+    def space_mask(g):
+        return g == O.SPACE
+
+    # forks: space cells with > 2 space neighbors (mazegen.cpp:215-227)
+    l, u, d, r = _neighbor_vals(grid)
+    nsp = sum((v == O.SPACE).astype(I32) for v in (l, u, d, r))
+    forks = space_mask(grid) & (nsp > 2)
+
+    # chosen = choose_n(forks, num_doors) (mazegen.cpp:229-236)
+    rs, picks, ndoors = choose_n_erase(
+        rs, forks.reshape(-1), max_doors, num_doors
+    )
+    flat = grid.reshape(-1)
+    for s in range(max_doors):
+        do = s < ndoors
+        flat = flat.at[picks[s]].set(
+            jnp.where(do, O.DOOR_OBJ, flat[picks[s]])
+        )
+    grid = flat.reshape(AD, AD)
+
+    # agent cell: choose_one(space) rejecting door-adjacent (mazegen.cpp:238-253)
+    l, u, d, r = _neighbor_vals(grid)
+    door_adj = (
+        (l == O.DOOR_OBJ) | (u == O.DOOR_OBJ) | (d == O.DOOR_OBJ)
+        | (r == O.DOOR_OBJ)
+    ).reshape(-1)
+    space_flat = space_mask(grid).reshape(-1)
+    n_space = jnp.sum(space_flat.astype(I32))
+    rs, m0 = R.rs_randn(rs, n_space)
+    cell0 = choose_nth_masked(space_flat, m0)
+
+    def agent_body(_, carry):
+        rs, cell, active = carry
+        active = jnp.logical_and(active, door_adj[cell])
+        rs, m = R.rs_randn(rs, n_space, active=active)
+        cell = jnp.where(active, choose_nth_masked(space_flat, m), cell)
+        return rs, cell, active
+
+    rs, agent_cell, _ = jax.lax.fori_loop(
+        0, 64, agent_body, (rs, cell0, jnp.asarray(True))
+    )
+    flat = grid.reshape(-1).at[agent_cell].set(O.AGENT_OBJ)
+    grid = flat.reshape(AD, AD)
+
+    visited = jnp.zeros((AD * AD,), jnp.bool_).at[agent_cell].set(True)
+
+    for round_ in range(max_doors + 1):
+        round_active = round_ <= ndoors
+        search_active = round_ < ndoors
+
+        l, u, d, r = _neighbor_vals(grid)
+        door_adj = (
+            (l == O.DOOR_OBJ) | (u == O.DOOR_OBJ) | (d == O.DOOR_OBJ)
+            | (r == O.DOOR_OBJ)
+        ).reshape(-1)
+        space_flat = space_mask(grid).reshape(-1)
+
+        # expand_to_type(s0, s1, DOOR_OBJ): BFS waves, first door-adjacent
+        # cell in (wave, index) order (mazegen.cpp:69-98)
+        def search_cond(c):
+            vis, wave, found = c
+            return jnp.logical_and(
+                search_active, jnp.logical_and(~found, jnp.any(wave))
+            )
+
+        def search_body(c):
+            vis, wave, found = c
+            hit = jnp.any(wave & door_adj)
+            new = (
+                _dilate(vis.reshape(AD, AD)).reshape(-1) & space_flat & ~vis
+            )
+            vis = jnp.where(hit, vis, vis | new)
+            wave = jnp.where(hit, wave, new)
+            return vis, wave, found | hit
+
+        vis1, wave1, found = jax.lax.while_loop(
+            search_cond, search_body, (visited, visited, jnp.asarray(False))
+        )
+        found_cell = jnp.argmax(wave1 & door_adj)
+        # first DOOR_OBJ neighbor in push order left/up/down/right
+        lf, uf, df, rf = (v.reshape(-1) for v in (l, u, d, r))
+        fd = jnp.where(
+            lf[found_cell] == O.DOOR_OBJ, found_cell - 1,
+            jnp.where(
+                uf[found_cell] == O.DOOR_OBJ, found_cell - AD,
+                jnp.where(
+                    df[found_cell] == O.DOOR_OBJ, found_cell + AD,
+                    found_cell + 1,
+                ),
+            ),
+        )
+        do_rename = search_active & found
+        flat = grid.reshape(-1)
+        flat = flat.at[fd].set(
+            jnp.where(do_rename, O.DOOR_OBJ + round_ + 1, flat[fd])
+        )
+        grid = flat.reshape(AD, AD)
+        space_flat = space_mask(grid).reshape(-1)
+
+        # expand_to_type(s0, s1, -999): full flood (renamed door blocks)
+        def flood_cond(c):
+            vis, grew = c
+            return jnp.logical_and(round_active, grew)
+
+        def flood_body(c):
+            vis, _ = c
+            new = _dilate(vis.reshape(AD, AD)).reshape(-1) & space_flat & ~vis
+            return vis | new, jnp.any(new)
+
+        vis2, _ = jax.lax.while_loop(
+            flood_cond, flood_body, (vis1, jnp.asarray(True))
+        )
+        s1 = vis2 & ~visited
+        n_s1 = jnp.sum(s1.astype(I32))
+        rs, n = R.rs_randn(rs, jnp.maximum(n_s1, 1), active=round_active)
+        key_cell = choose_nth_masked(s1, n)
+        val = jnp.where(
+            round_ == ndoors, O.EXIT_OBJ, O.KEY_OBJ + round_ + 1
+        )
+        flat = grid.reshape(-1)
+        flat = flat.at[key_cell].set(
+            jnp.where(round_active, val, flat[key_cell])
+        )
+        grid = flat.reshape(AD, AD)
+        visited = jnp.where(round_active, vis2, visited)
+        visited = visited.at[fd].set(visited[fd] | do_rename)
+
+    return rs, grid
+
+
 def place_objects(
     mt: R.MT,
     res: MazeResult,

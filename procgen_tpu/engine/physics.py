@@ -132,12 +132,8 @@ def sub_step(gd, cfg, state: EnvState, idx, _vx, _vy, active):
     # --- entity interactions (bag.cpp:335-369) ---
     block2 = jnp.asarray(False)
     if gd.uses_entity_reflect or gd.uses_entity_push:
-        if gd.uses_entity_push:
-            raise NotImplementedError(
-                "entity pushing (coinrun/heist) lands with those games"
-            )
-        # Sequential reverse sweep: each reflection moves the object before
-        # the next (lower-index) entity is tested, matching bag.cpp:337-369.
+        # Sequential reverse sweep: each reflection/push moves the object
+        # before the next (lower-index) entity is tested (bag.cpp:337-369).
         E = ents.capacity
 
         def body(k, carry):
@@ -153,8 +149,8 @@ def sub_step(gd, cfg, state: EnvState, idx, _vx, _vy, active):
                 & (jnp.abs(ny - ents.y[m]) < obj["ry"] + ents.ry[m] + POS_EPS)
             )
             hit = valid & coll
-            blocked_m = hit & gd.is_blocked_ents(
-                cfg, state, obj["type"], ents.type[m], is_horizontal
+            blocked_m = hit & gd.is_blocked_ents_at(
+                cfg, state, obj["type"], m, is_horizontal
             )
             refl_m = (
                 hit
@@ -172,6 +168,51 @@ def sub_step(gd, cfg, state: EnvState, idx, _vx, _vy, active):
             ny = jnp.where(app & ~is_horizontal, ny + bounce_dy, ny)
             nvx = jnp.where(app & is_horizontal, -nvx, nvx)
             nvy = jnp.where(app & ~is_horizontal, -nvy, nvy)
+
+            if gd.uses_entity_push:
+                # push_obj(m, obj) (bag.cpp:240-268): m clamps obj to its
+                # boundary along the move axis via a recursive sub_step and
+                # zeroes obj's velocity component.  The recursion's grid
+                # corner-probe + clamp is reproduced; deeper entity re-checks
+                # (depth >= 2, only reachable through chained overlaps the
+                # ported games' geometry cannot produce) are elided.
+                push_dx = (
+                    ents.x[m] + jnp.sign(nx - ents.x[m]) * rsx - nx
+                )
+                push_dy = (
+                    ents.y[m] + jnp.sign(ny - ents.y[m]) * rsy - ny
+                )
+                px = nx + jnp.where(is_horizontal, push_dx, 0.0)
+                py = ny + jnp.where(is_horizontal, 0.0, push_dy)
+                gblock = jnp.asarray(False)
+                for ii in (0, 1):
+                    for jj in (0, 1):
+                        cpx = px + obj["rx"] * SUB_STEP_MARGIN * (2 * ii - 1)
+                        cpy = py + obj["ry"] * SUB_STEP_MARGIN * (2 * jj - 1)
+                        t3 = get_obj_from_floats(state, cpx, cpy)
+                        gblock = gblock | gd.is_blocked(
+                            cfg, state, obj["type"], t3, is_horizontal
+                        )
+                pcl_x = jnp.where(
+                    push_dx > 0,
+                    jnp.floor(px + obj["rx"]) - obj["rx"],
+                    jnp.ceil(px - obj["rx"]) + obj["rx"],
+                )
+                pcl_y = jnp.where(
+                    push_dy > 0,
+                    jnp.floor(py + obj["ry"]) - obj["ry"],
+                    jnp.ceil(py - obj["ry"]) + obj["ry"],
+                )
+                pcl_x = jnp.where(state.grid_step, nx, pcl_x)
+                pcl_y = jnp.where(state.grid_step, ny, pcl_y)
+                px = jnp.where(gblock & is_horizontal, pcl_x, px)
+                py = jnp.where(gblock & ~is_horizontal, pcl_y, py)
+                appb = blocked_m & active
+                nx = jnp.where(appb, px, nx)
+                ny = jnp.where(appb, py, ny)
+                nvx = jnp.where(appb & is_horizontal, 0.0, nvx)
+                nvy = jnp.where(appb & ~is_horizontal, 0.0, nvy)
+
             block2 = block2 | blocked_m
             return nx, ny, nvx, nvy, block2
 

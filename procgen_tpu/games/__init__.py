@@ -29,6 +29,7 @@ def make_game(cfg):
 
 def _import_all():
     import procgen_tpu.games.bigfish  # noqa: F401
+    import procgen_tpu.games.heist  # noqa: F401
     import procgen_tpu.games.leaper  # noqa: F401
     import procgen_tpu.games.maze  # noqa: F401
     import procgen_tpu.games.miner  # noqa: F401

@@ -272,10 +272,13 @@ def _composite_entities_gather(gd, cfg, state, pack, out, z_filter="all"):
     E = ents.capacity
     order = _entity_draw_order(ents)
     SX, SY, _, _ = _pixel_world_coords(state)
+    draw_mask = gd.entity_draw_mask(cfg, state)
 
     def draw_one(k, out):
         i = order[k]
         ok = ents.alive[i]
+        if draw_mask is not None:
+            ok = ok & draw_mask[i]
         if z_filter == "neg":
             ok = ok & (ents.render_z[i] < 0)
         elif z_filter == "nonneg":
@@ -332,7 +335,7 @@ def _composite_entities_gather(gd, cfg, state, pack, out, z_filter="all"):
     return jax.lax.fori_loop(0, E, draw_one, out)
 
 
-def _composite_entities_matmul(gd, cfg, state, pack, out):
+def _composite_entities_matmul(gd, cfg, state, pack, out, z_filter="all"):
     """TPU path: separable nearest sampling via one-hot matmuls (MXU).
 
     Exact for rotation == 0 entities (every game currently ported); each
@@ -348,10 +351,13 @@ def _composite_entities_matmul(gd, cfg, state, pack, out):
     px = jnp.arange(RES, dtype=F32) + 0.5
     iota_h = jnp.arange(Sh)
     iota_w = jnp.arange(Sw)
+    draw_mask = gd.entity_draw_mask(cfg, state)
 
     def draw_one(k, out):
         i = order[k]
         ok = ents.alive[i]
+        if draw_mask is not None:
+            ok = ok & draw_mask[i]
         if z_filter == "neg":
             ok = ok & (ents.render_z[i] < 0)
         elif z_filter == "nonneg":
@@ -571,7 +577,8 @@ def render_frames(gd, cfg, states: EnvState, pack) -> jax.Array:
     in f32), then blends through dynamic slices.  The draw loop's trip count
     is the *max alive count* across the batch, so capacity padding costs
     nothing."""
-    if gd.center_agent(cfg):
+    if gd.center_agent(cfg) or gd.entity_rotations == "free":
+        # moving view / arbitrary sprite angles: per-env gather path
         return jax.vmap(lambda s: render_env(gd, cfg, s, pack))(states)
 
     R = pack.sprite_res
@@ -589,6 +596,10 @@ def render_frames(gd, cfg, states: EnvState, pack) -> jax.Array:
     key = jnp.where(ents.alive, key, 10 * E + jnp.arange(E)[None, :])
     order = jnp.argsort(key, axis=-1)  # (N, E)
     kmax = jnp.max(jnp.sum(ents.alive, axis=-1))
+    draw_mask_b = jax.vmap(lambda s: gd.entity_draw_mask(cfg, s))(states) if (
+        gd.entity_draw_mask(cfg, jax.tree_util.tree_map(lambda x: x[0], states))
+        is not None
+    ) else None
 
     tloc = jnp.arange(T, dtype=F32)
     rows = jnp.arange(N)
@@ -602,6 +613,8 @@ def render_frames(gd, cfg, states: EnvState, pack) -> jax.Array:
             return getattr(ents, field)[rows, i]
 
         ok = g("alive")
+        if draw_mask_b is not None:
+            ok = ok & draw_mask_b[rows, i]
         if z_filter == "neg":
             ok = ok & (g("render_z") < 0)
         elif z_filter == "nonneg":
