@@ -69,7 +69,7 @@ class EnvConfig:
     use_monochrome_assets: bool = False
     restrict_themes: bool = False
     use_backgrounds: bool = True
-    center_agent: bool = False
+    center_agent: bool = True  # env.py:211 default
     use_sequential_levels: bool = False
     distribution_mode: DistributionMode = DistributionMode.hard
     debug_mode: int = 0

@@ -82,9 +82,11 @@ class GameDef:
         rect adjustment as (ox, oy, sw, sh) fractions, or None."""
         return None
 
-    def tile_ratio_for(self, img_type):
+    def tile_ratio_for(self, img_type, rx=None, ry=None):
         """get_tile_aspect_ratio (bag.cpp:409-411) vectorized over image
-        types; None when the game never tiles."""
+        types; None when the game never tiles.  ``rx``/``ry`` carry the
+        entity extents for games whose ratio depends on the entity shape
+        (dodgeball's lava walls, dodgeball.cpp:249-255)."""
         return None
 
     @property
@@ -189,6 +191,14 @@ class GameDef:
         cell fraction with the color."""
         return None
 
+    def hud_color_rects(self, cfg, state):
+        """Post-entity screen-space fillRects (per-game game_draw overlays,
+        e.g. plunder's juice/progress bars, plunder.cpp:66-77): None, or
+        (rects (K, 4) [x, y_top, w, h] in world units scaled by ``unit``
+        from the top-left -- get_abs_rect, bag.cpp:803-805 -- and colors
+        (K, 3) RGB)."""
+        return None
+
     def will_reflect(self, cfg, state, src_type, target_type):
         return jnp.asarray(False)
 
@@ -218,8 +228,14 @@ class GameDef:
         return state
 
     def choose_center(self, cfg, state):
-        """bag.cpp:664-667: view center when options.center_agent."""
-        return state.ents.x[eo.AGENT], state.ents.y[eo.AGENT]
+        """bag.cpp:664-667: view center (and possibly visibility, which some
+        games overwrite here, e.g. fruitbot) when options.center_agent.
+        Returns (cx, cy, visibility)."""
+        return (
+            state.ents.x[eo.AGENT],
+            state.ents.y[eo.AGENT],
+            state.visibility,
+        )
 
     # ---- state codec hooks (per-game serialize extras, SURVEY 2.2 col 5) ----
     def serialize_extra(self, w, s, i) -> None:

@@ -64,6 +64,36 @@ def make_entity(x, y, vx, vy, rx, ry, type_) -> dict:
     return default_entity_fields(x, y, vx, vy, rx, ry, type_)
 
 
+def append_entities_masked(ents: EntityTable, fields: dict, mask, descending=True):
+    """Append one entity per masked source slot, in ascending (or descending)
+    source-slot order, each field given as an ``(E,)`` candidate array.
+
+    Vectorized equivalent of a reference loop that pushes_back one child per
+    matching entity (e.g. bossfight's laser-trail loop, bossfight.cpp:419-431,
+    which iterates slots in reverse).  Overflow appends are dropped.
+    """
+    E = ents.capacity
+    idx = jnp.arange(E)
+    big = 2 * E
+    key = jnp.where(mask, (E - 1 - idx) if descending else idx, big)
+    order = jnp.argsort(key)  # masked srcs first, in append order
+    n = jnp.sum(mask.astype(I32))
+    cnt = jnp.sum(ents.alive.astype(I32))
+    k = jnp.arange(E)
+    valid = (k < n) & (cnt + k < E)
+    dest = jnp.where(valid, cnt + k, E)  # E = out of range -> dropped
+    new = {}
+    for name in ents.__dataclass_fields__:
+        arr = getattr(ents, name)
+        if name == "alive":
+            new[name] = arr.at[dest].set(True)
+            continue
+        # every field must be supplied (stale dead-slot values otherwise)
+        src_vals = jnp.asarray(fields[name], arr.dtype)[order]
+        new[name] = arr.at[dest].set(src_vals)
+    return ents.replace(**new)
+
+
 def entity_vs_all(ents: EntityTable, x, y, rx, ry, margin=0.0):
     """AABB overlap of one box vs every slot (has_collision, bag.cpp:1145-1150)."""
     tx = (rx + ents.rx) + jnp.asarray(margin, F32)

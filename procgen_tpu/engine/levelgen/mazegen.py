@@ -182,6 +182,54 @@ def _dilate(vis):
     return out
 
 
+def generate_maze_no_dead_ends(rs, maze_dim, max_dim: int):
+    """mazegen.cpp:189-210: perfect maze, then open a random wall next to
+    every dead end (MsPacman style).
+
+    The dead-end scan is sequential in ascending cell order -- each opened
+    wall becomes SPACE and changes neighbor counts for later cells -- so it
+    runs as a fori over the flat grid with masked draws.
+
+    Returns (rs, grid) with grid (max_dim+2, max_dim+2) int32 [y, x].
+    """
+    res = generate_maze(rs, maze_dim, max_dim)
+    rs = res.rng
+    AD = max_dim + 2
+    md = jnp.asarray(maze_dim, I32)
+    flat0 = res.grid.reshape(-1)
+
+    def body(i, carry):
+        rs, flat = carry
+        x = i % AD
+        y = i // AD
+        interior = (x >= 1) & (x <= md) & (y >= 1) & (y <= md)
+        nidx = jnp.stack([i - 1, i - AD, i + AD, i + 1])  # l, u, d, r order
+        nx = nidx % AD
+        ny = nidx // AD
+        n_int = (nx >= 1) & (nx <= md) & (ny >= 1) & (ny <= md)
+        nvals = jnp.where(
+            n_int, flat[jnp.clip(nidx, 0, AD * AD - 1)], O.INVALID_OBJ
+        )
+        is_dead_end = (
+            interior
+            & (flat[i] == O.SPACE)
+            & (jnp.sum((nvals == O.SPACE).astype(I32)) == 1)
+        )
+        wall_mask = nvals == O.WALL_OBJ
+        n_wall = jnp.sum(wall_mask.astype(I32))
+        do = is_dead_end & (n_wall > 0)
+        rs, n = R.rs_randn(rs, jnp.maximum(n_wall, 1), active=do)
+        # n-th wall neighbor in l/u/d/r push order
+        pos = jnp.cumsum(wall_mask.astype(I32)) - 1
+        sel = jnp.argmax(wall_mask & (pos == n))
+        widx = nidx[sel]
+        flat = flat.at[widx].set(jnp.where(do, O.SPACE, flat[widx]))
+        return rs, flat
+
+    rs, flat = jax.lax.fori_loop(0, AD * AD, body, (rs, flat0))
+    return rs, flat.reshape(AD, AD)
+
+
 def generate_maze_with_doors(
     rs, num_doors, maze_dim, max_dim: int, max_doors: int = 3
 ):

@@ -41,6 +41,37 @@ def simple_choose(rs, n: int, k: int, max_tries: int = 16):
     return rs, chosen
 
 
+def simple_choose_dyn(rs, n, k, n_max: int, k_max: int, max_tries: int = 16):
+    """simple_choose with traced ``n`` (<= n_max) and traced ``k`` (<= k_max).
+
+    Returns (rs, chosen (k_max,)); entries past k are unspecified."""
+    in_set = jnp.zeros((n_max,), jnp.bool_)
+    chosen = jnp.zeros((k_max,), I32)
+    n1 = jnp.maximum(jnp.asarray(n, I32), 1)
+
+    def pick(i, carry):
+        rs, chosen, in_set = carry
+        active0 = i < k
+        rs, nxt = R.rs_randn(rs, n1, active=active0)
+
+        def retry(_, c):
+            rs, nxt, active = c
+            active = jnp.logical_and(active, in_set[nxt])
+            rs, nxt2 = R.rs_randn(rs, n1, active=active)
+            nxt = jnp.where(active, nxt2, nxt)
+            return rs, nxt, active
+
+        rs, nxt, _ = jax.lax.fori_loop(
+            0, max_tries, retry, (rs, nxt, active0)
+        )
+        chosen = chosen.at[i].set(jnp.where(active0, nxt, chosen[i]))
+        in_set = in_set.at[nxt].set(in_set[nxt] | active0)
+        return rs, chosen, in_set
+
+    rs, chosen, _ = jax.lax.fori_loop(0, k_max, pick, (rs, chosen, in_set))
+    return rs, chosen
+
+
 def choose_nth_masked(mask, n):
     """Index of the n-th True in ``mask`` (ascending); mirrors indexing into
     a vector built by an ascending filter scan (e.g. get_cells_with_type)."""

@@ -67,7 +67,7 @@ class ProcgenTPUEnv:
         use_monochrome_assets: bool = False,
         restrict_themes: bool = False,
         use_backgrounds: bool = True,
-        center_agent: bool = False,
+        center_agent: bool = True,  # reference env.py:211
         use_sequential_levels: bool = False,
         num_threads: int = 4,  # accepted for API parity; no thread pool here
         render: bool = True,

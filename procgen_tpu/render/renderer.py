@@ -45,8 +45,7 @@ def update_view_params(gd, cfg, state: EnvState) -> EnvState:
     mw = state.main_width.astype(F32)
     mh = state.main_height.astype(F32)
     if gd.center_agent(cfg):
-        cx, cy = gd.choose_center(cfg, state)
-        visibility = state.visibility
+        cx, cy, visibility = gd.choose_center(cfg, state)
     else:
         cx = mw * F32(0.5)
         cy = mh * F32(0.5)
@@ -116,14 +115,24 @@ def render_static_env(gd, cfg, state: EnvState, pack, parts=("bg", "grid")) -> j
         m_y0 = (view_dim - mh) * unit + y_off
         m_w = mw * unit
         m_h = mh * unit
-        bg_ar = bgw / bgh
-        world_ar = mw / mh
-        offset_x = state.bg_pct_x * (bg_ar - world_ar)
-        bx0 = m_x0 + m_w * (-offset_x)
-        bw = m_w * (bg_ar / world_ar)
-        u = (SX - bx0) / bw
-        v = (SY - m_y0) / m_h
-        inside = (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
+        if gd.bg_tile_ratio < 0:
+            # tile_image vertically over the main rect (bag.cpp:842-853)
+            n_t = jnp.maximum(
+                (m_h / (m_w * F32(-gd.bg_tile_ratio))).astype(I32), 1
+            ).astype(F32)
+            u = (SX - m_x0) / m_w
+            vraw = (SY - m_y0) / (m_h / n_t)
+            v = vraw - jnp.floor(vraw)
+            inside = (u >= 0) & (u < 1) & (SY >= m_y0) & (SY < m_y0 + m_h)
+        else:
+            bg_ar = bgw / bgh
+            world_ar = mw / mh
+            offset_x = state.bg_pct_x * (bg_ar - world_ar)
+            bx0 = m_x0 + m_w * (-offset_x)
+            bw = m_w * (bg_ar / world_ar)
+            u = (SX - bx0) / bw
+            v = (SY - m_y0) / m_h
+            inside = (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
         su = jnp.clip((u * bgw).astype(I32), 0, bg_dims[bgi, 0] - 1)
         sv = jnp.clip((v * bgh).astype(I32), 0, bg_dims[bgi, 1] - 1)
         col = bg_atlas[bgi, sv + 0 * su, su].astype(F32)
@@ -232,7 +241,23 @@ def _grid_pass_gather(gd, cfg, state: EnvState, pack, out):
         jnp.clip(cv, 0.0, 0.9999), jnp.asarray(False),
     )
     a = jnp.where(draw_cell, a, 0.0)
-    return rgb * a[..., None] + out * (1 - a[..., None])
+    out = rgb * a[..., None] + out * (1 - a[..., None])
+    out = _grid_color_rects(gd, cfg, cell_type_c, cell_valid, cu, cv, out)
+    return out
+
+
+def _grid_color_rects(gd, cfg, cell_type_c, cell_valid, cu, cv, out):
+    """Per-game draw_grid_obj color rects (e.g. chaser orbs)."""
+    crl = gd.grid_color_rect_lut(cfg)
+    if crl is None:
+        return out
+    dim_lut, rgb_lut = (jnp.asarray(a) for a in crl)
+    d = dim_lut[cell_type_c]
+    lo = (1 - d) / 2
+    hi = (1 + d) / 2
+    inside = cell_valid & (d > 0) & (cu >= lo) & (cu < hi) & (cv >= lo) & (cv < hi)
+    col = rgb_lut[cell_type_c].astype(F32)
+    return jnp.where(inside[..., None], col, out)
 
 
 def _entity_draw_order(ents):
@@ -273,6 +298,7 @@ def _composite_entities_gather(gd, cfg, state, pack, out, z_filter="all"):
     order = _entity_draw_order(ents)
     SX, SY, _, _ = _pixel_world_coords(state)
     draw_mask = gd.entity_draw_mask(cfg, state)
+    img_override = gd.entity_image_override(cfg, state)
 
     def draw_one(k, out):
         i = order[k]
@@ -284,7 +310,7 @@ def _composite_entities_gather(gd, cfg, state, pack, out, z_filter="all"):
         elif z_filter == "nonneg":
             ok = ok & (ents.render_z[i] >= 0)
         r_x0, r_y0, r_w, r_h = _entity_rect(state, ents, i)
-        img_t = ents.image_type[i]
+        img_t = ents.image_type[i] if img_override is None else img_override[i]
         e_slot = slot_lut[
             jnp.clip(img_t, 0, O.MAX_ASSETS - 1),
             jnp.clip(ents.image_theme[i], 0, 9),
@@ -311,7 +337,7 @@ def _composite_entities_gather(gd, cfg, state, pack, out, z_filter="all"):
         u = (lx + r_w / 2) / r_w
         v = (ly + r_h / 2) / r_h
         inside = (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
-        ratio = gd.tile_ratio_for(img_t)
+        ratio = gd.tile_ratio_for(img_t, ents.rx[i], ents.ry[i])
         if ratio is not None:
             n_th = jnp.maximum(
                 jnp.where(ratio > 0, (r_w / (r_h * jnp.abs(ratio) + 1e-9)).astype(I32), 1), 1
@@ -352,6 +378,7 @@ def _composite_entities_matmul(gd, cfg, state, pack, out, z_filter="all"):
     iota_h = jnp.arange(Sh)
     iota_w = jnp.arange(Sw)
     draw_mask = gd.entity_draw_mask(cfg, state)
+    img_override = gd.entity_image_override(cfg, state)
 
     def draw_one(k, out):
         i = order[k]
@@ -363,7 +390,7 @@ def _composite_entities_matmul(gd, cfg, state, pack, out, z_filter="all"):
         elif z_filter == "nonneg":
             ok = ok & (ents.render_z[i] >= 0)
         r_x0, r_y0, r_w, r_h = _entity_rect(state, ents, i)
-        img_t = ents.image_type[i]
+        img_t = ents.image_type[i] if img_override is None else img_override[i]
         e_slot = slot_lut[
             jnp.clip(img_t, 0, O.MAX_ASSETS - 1),
             jnp.clip(ents.image_theme[i], 0, 9),
@@ -376,6 +403,23 @@ def _composite_entities_matmul(gd, cfg, state, pack, out, z_filter="all"):
         v = (px - r_y0) / r_h
         in_x = (u >= 0) & (u < 1)
         in_y = (v >= 0) & (v < 1)
+        ratio = gd.tile_ratio_for(img_t, ents.rx[i], ents.ry[i])
+        if ratio is not None:
+            # tile_image (bag.cpp:840-869); this path draws unrotated sprites
+            n_th = jnp.maximum(
+                jnp.where(
+                    ratio > 0, (r_w / (r_h * jnp.abs(ratio) + 1e-9)).astype(I32), 1
+                ), 1,
+            )
+            n_tv = jnp.maximum(
+                jnp.where(
+                    ratio < 0, (r_h / (r_w * jnp.abs(ratio) + 1e-9)).astype(I32), 1
+                ), 1,
+            )
+            uraw = u * n_th.astype(F32)
+            u = jnp.where(ratio > 0, uraw - jnp.floor(uraw), u)
+            vraw = v * n_tv.astype(F32)
+            v = jnp.where(ratio < 0, vraw - jnp.floor(vraw), v)
         su = jnp.clip((jnp.clip(u, 0.0, 0.9999) * w.astype(F32)).astype(I32), 0, w - 1)
         sv = jnp.clip((jnp.clip(v, 0.0, 0.9999) * h.astype(F32)).astype(I32), 0, h - 1)
         su = jnp.where(ents.is_reflected[i], w - 1 - su, su)
@@ -418,6 +462,23 @@ def _paint_vel_info(gd, cfg, state, out):
     return out
 
 
+def _paint_hud(gd, cfg, state, out):
+    """Per-game post-entity fillRect overlays (get_abs_rect coords)."""
+    hud = gd.hud_color_rects(cfg, state)
+    if hud is None:
+        return out
+    rects, colors = hud
+    SX, SY, _, _ = _pixel_world_coords(state)
+    for k in range(rects.shape[0]):
+        x0 = rects[k, 0] * state.unit
+        y0 = rects[k, 1] * state.unit
+        w = rects[k, 2] * state.unit
+        h = rects[k, 3] * state.unit
+        inside = (SX >= x0) & (SX < x0 + w) & (SY >= y0) & (SY < y0 + h)
+        out = jnp.where(inside[..., None], colors[k].astype(F32), out)
+    return out
+
+
 def render_env(gd, cfg, state: EnvState, pack) -> jax.Array:
     """Direct single-pass render (parity/golden path, center-agent games)."""
     if getattr(gd, "grid_dynamic", False):
@@ -429,6 +490,7 @@ def render_env(gd, cfg, state: EnvState, pack) -> jax.Array:
         out = render_static_env(gd, cfg, state, pack).astype(F32)
         out = _composite_entities_gather(gd, cfg, state, pack, out)
     out = _paint_vel_info(gd, cfg, state, out)
+    out = _paint_hud(gd, cfg, state, out)
     return jnp.clip(out + 0.5, 0, 255).astype(jnp.uint8)
 
 
@@ -440,6 +502,7 @@ def render_frame(gd, cfg, state: EnvState, pack) -> jax.Array:
     out = state.static_layer.astype(F32)
     out = _composite_entities_matmul(gd, cfg, state, pack, out)
     out = _paint_vel_info(gd, cfg, state, out)
+    out = _paint_hud(gd, cfg, state, out)
     return jnp.clip(out + 0.5, 0, 255).astype(jnp.uint8)
 
 
@@ -556,7 +619,20 @@ def _grid_fast_one(gd, cfg, state: EnvState, pack, out) -> jax.Array:
     ).astype(F32)
     tex = jnp.einsum("nyx,nyxc->yxc", sel, sampled)
     a = tex[..., 3] / 255.0
-    return tex[..., :3] * a[..., None] + out * (1 - a[..., None])
+    out = tex[..., :3] * a[..., None] + out * (1 - a[..., None])
+
+    if gd.grid_color_rect_lut(cfg) is not None:
+        type_pix = jnp.einsum(
+            "yh,hw,wx->yx", ohgy, state.grid.astype(F32), ohgx,
+            preferred_element_type=jnp.float32,
+        ).astype(I32)
+        cell_valid = in_cy[:, None] & in_cx[None, :]
+        out = _grid_color_rects(
+            gd, cfg,
+            jnp.clip(type_pix, 0, grid_slot_lut.shape[0] - 1),
+            cell_valid, cu[None, :], cv[:, None], out,
+        )
+    return out
 
 
 def render_static_dispatch(gd, cfg, state: EnvState, pack) -> jax.Array:
@@ -596,10 +672,17 @@ def render_frames(gd, cfg, states: EnvState, pack) -> jax.Array:
     key = jnp.where(ents.alive, key, 10 * E + jnp.arange(E)[None, :])
     order = jnp.argsort(key, axis=-1)  # (N, E)
     kmax = jnp.max(jnp.sum(ents.alive, axis=-1))
-    draw_mask_b = jax.vmap(lambda s: gd.entity_draw_mask(cfg, s))(states) if (
-        gd.entity_draw_mask(cfg, jax.tree_util.tree_map(lambda x: x[0], states))
-        is not None
-    ) else None
+    one_env = jax.tree_util.tree_map(lambda x: x[0], states)
+    draw_mask_b = (
+        jax.vmap(lambda s: gd.entity_draw_mask(cfg, s))(states)
+        if gd.entity_draw_mask(cfg, one_env) is not None
+        else None
+    )
+    img_override_b = (
+        jax.vmap(lambda s: gd.entity_image_override(cfg, s))(states)
+        if gd.entity_image_override(cfg, one_env) is not None
+        else None
+    )
 
     tloc = jnp.arange(T, dtype=F32)
     rows = jnp.arange(N)
@@ -632,7 +715,9 @@ def render_frames(gd, cfg, states: EnvState, pack) -> jax.Array:
         r_w = jnp.where(abs_c, 2 * view_dim * rx * unit, 2 * rx * unit)
         r_h = jnp.where(abs_c, 2 * view_dim * ry * unit, 2 * ry * unit)
 
-        img_t = g("image_type")
+        img_t = (
+            g("image_type") if img_override_b is None else img_override_b[rows, i]
+        )
         e_slot = slot_lut[
             jnp.clip(img_t, 0, O.MAX_ASSETS - 1), jnp.clip(g("image_theme"), 0, 9)
         ]
@@ -695,7 +780,7 @@ def render_frames(gd, cfg, states: EnvState, pack) -> jax.Array:
 
         # horizontal/vertical tiling (tile_image, bag.cpp:840-869); only for
         # unrotated sprites, as in draw_image (bag.cpp:899-906)
-        ratio = gd.tile_ratio_for(img_t)
+        ratio = gd.tile_ratio_for(img_t, g("rx"), g("ry"))
         if ratio is not None:
             n_th = jnp.maximum(
                 jnp.where(
@@ -786,6 +871,8 @@ def render_frames(gd, cfg, states: EnvState, pack) -> jax.Array:
             0, kmax, lambda k, o: draw_k_class(k, o, "all"), out
         )
     out = _paint_vel_info_batched(gd, cfg, states, out)
+    if gd.hud_color_rects(cfg, jax.tree_util.tree_map(lambda x: x[0], states)) is not None:
+        out = jax.vmap(lambda s, o: _paint_hud(gd, cfg, s, o))(states, out)
     return jnp.clip(out + 0.5, 0, 255).astype(jnp.uint8)
 
 

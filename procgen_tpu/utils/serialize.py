@@ -55,6 +55,10 @@ class Writer:
     def write_float(self, v):
         self.parts.append(struct.pack("<f", float(np.float32(v))))
 
+    def write_bool(self, v):
+        # buffer.h: bools travel as ints
+        self.write_int(1 if v else 0)
+
     def write_string(self, s: str):
         b = s.encode()
         self.write_int(len(b))
@@ -69,6 +73,11 @@ class Writer:
         self.write_int(len(v))
         for x in v:
             self.write_int(int(x))
+
+    def write_vector_float(self, v):
+        self.write_int(len(v))
+        for x in v:
+            self.write_float(x)
 
     def getvalue(self) -> bytes:
         return b"".join(self.parts)
@@ -95,11 +104,17 @@ class Reader:
         self.off += n
         return s
 
+    def read_bool(self) -> bool:
+        return self.read_int() > 0
+
     def read_vector_bool(self):
         return [self.read_int() > 0 for _ in range(self.read_int())]
 
     def read_vector_int(self):
         return [self.read_int() for _ in range(self.read_int())]
+
+    def read_vector_float(self):
+        return [self.read_float() for _ in range(self.read_int())]
 
 
 def _write_randgen(w: Writer, key: np.ndarray, pos: int, seeded: bool = True):

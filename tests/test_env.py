@@ -18,7 +18,13 @@ def rollout(env, steps, seed=0):
     return np.stack(obs), np.stack(rews), np.stack(firsts)
 
 
-@pytest.mark.parametrize("env_name", ["maze", "bigfish", "miner", "leaper"])
+@pytest.mark.parametrize(
+    "env_name",
+    [
+        "maze", "bigfish", "miner", "leaper", "heist", "chaser", "fruitbot",
+        "plunder", "bossfight", "dodgeball",
+    ],
+)
 def test_determinism(env_name):
     """env_test.py:33-52: identical rollouts at fixed rand_seed."""
     kwargs = dict(num=2, env_name=env_name, rand_seed=23, distribution_mode="easy")
@@ -127,6 +133,88 @@ def test_miner_digging_and_gravity():
                     below = grid[y - 1, x]
                     if below == 100 and not (ax == x and ay == y - 1):
                         raise AssertionError(f"floating object at {x},{y} env {i}")
+
+
+def test_fruitbot_drift_and_scoring():
+    env = ProcgenTPUEnv(num=8, env_name="fruitbot", rand_seed=4, distribution_mode="easy")
+    y0 = np.asarray(env.state.ents.y[:, 0]).copy()
+    rng = np.random.RandomState(3)
+    saw_reward = False
+    saw_done = False
+    for t in range(120):
+        env.act(rng.randint(0, 15, size=8))
+        rew, ob, first = env.observe()
+        saw_reward = saw_reward or (rew != 0).any()
+        saw_done = saw_done or first.any()
+        if t == 5:
+            # constant upward drift (action_vy = 0.2)
+            y1 = np.asarray(env.state.ents.y[:, 0])
+            assert (y1 > y0).all(), "agent did not drift upward"
+    assert saw_reward or saw_done, "no fruit/food/wall interaction in 960 steps"
+
+
+def test_plunder_ships_and_cannon():
+    env = ProcgenTPUEnv(num=8, env_name="plunder", rand_seed=8, distribution_mode="easy")
+    n_ships = 0
+    fired = False
+    for t in range(80):
+        env.act(np.full(8, 9))  # special action 1: fire
+        rew, ob, first = env.observe()
+        st = env.state
+        types = np.asarray(st.ents.type)
+        alive = np.asarray(st.ents.alive)
+        n_ships = max(n_ships, int(((types == 7) & alive).sum(axis=1).max()))
+        fired = fired or bool(((types == 1) & alive).any())
+    assert n_ships > 0, "no ships spawned in 80 steps"
+    assert fired, "no cannonball entity observed"
+    juice = np.asarray(env.state.extra["juice_left"])
+    assert (juice < 1.0).all(), "juice bar never decreased"
+
+
+def test_bossfight_attacks_and_damage():
+    env = ProcgenTPUEnv(num=4, env_name="bossfight", rand_seed=2, distribution_mode="easy")
+    h0 = np.asarray(env.state.ents.health[:, 1]).copy()
+    saw_enemy_bullet = saw_trail = False
+    for t in range(220):
+        env.act(np.full(4, 9))  # hold fire
+        rew, ob, first = env.observe()
+        types = np.asarray(env.state.ents.type)
+        alive = np.asarray(env.state.ents.alive)
+        saw_enemy_bullet = saw_enemy_bullet or ((types == 4) & alive).any()
+        saw_trail = saw_trail or ((types == 5) & alive).any()
+    assert saw_enemy_bullet, "boss never fired"
+    assert saw_trail, "no laser trails spawned"
+    h1 = np.asarray(env.state.ents.health[:, 1])
+    first_seen = np.asarray(env.state.cur_time) < 220  # some env reset (died)
+    assert (h1 < h0).any() or first_seen.any(), (
+        "no boss damage nor any episode end in 880 env-steps"
+    )
+
+
+def test_dodgeball_enemies_move_and_balls_fly():
+    env = ProcgenTPUEnv(num=8, env_name="dodgeball", rand_seed=7, distribution_mode="easy")
+    st0 = env.state
+    e_mask0 = np.asarray(st0.ents.type) == 4
+    ex0 = np.asarray(st0.ents.x).copy()
+    saw_enemy_ball = False
+    saw_done = False
+    for t in range(160):
+        env.act(np.full(8, 9))  # hold throw
+        rew, ob, first = env.observe()
+        types = np.asarray(env.state.ents.type)
+        alive = np.asarray(env.state.ents.alive)
+        saw_enemy_ball = saw_enemy_ball or ((types == 6) & alive).any()
+        saw_done = saw_done or first.any()
+    # enemies patrol: some enemy position moved in some env that didn't reset
+    assert saw_enemy_ball or saw_done, "no enemy ball and no episode end"
+    # player balls were thrown at least once somewhere
+    # (they expire after 50 steps, so check any env saw one early)
+    env2 = ProcgenTPUEnv(num=2, env_name="dodgeball", rand_seed=3, distribution_mode="easy")
+    env2.act(np.full(2, 9))
+    env2.observe()
+    types2 = np.asarray(env2.state.ents.type)
+    alive2 = np.asarray(env2.state.ents.alive)
+    assert ((types2 == 3) & alive2).any(), "throw action spawned no ball"
 
 
 def test_leaper_hop_and_finish():
