@@ -54,6 +54,12 @@ class GameDef:
 
     # Physics feature gates (trace only what the game can use)
     agent_only_smart: bool = True
+    # entity types whose velocity zeroes when a grid probe blocks them
+    # (ninja's sticking throwing stars, ninja.cpp:139-152)
+    block_zeroes_velocity_types: tuple = ()
+    # upper bound on simultaneously-alive smart_step entities; caps the
+    # sequential sub-step sweeps for large tables (None = max_entities)
+    max_smart_entities = None
     uses_entity_reflect: bool = False
     uses_entity_block: bool = False
     uses_entity_push: bool = False
@@ -174,6 +180,12 @@ class GameDef:
             cfg, state, src_type, state.ents.type[m], is_horizontal
         )
 
+    def note_entity_blocks(self, cfg, state, idx, blocked_vec, is_horizontal):
+        """Observe which entities blocked ``idx`` during a sub_step (the
+        reference lets is_blocked_ents carry side effects, e.g. coinrun's
+        is_on_crate, coinrun.cpp:187-202).  Default: no-op."""
+        return state
+
     def entity_draw_mask(self, cfg, state):
         """should_draw_entity (bag.cpp:1048-1050) as a per-slot bool mask;
         None means draw all alive entities."""
@@ -182,6 +194,18 @@ class GameDef:
     def entity_image_override(self, cfg, state):
         """Dynamic image_for_type for entities (e.g. chaser's enemy
         animation, chaser.cpp:97-109): per-slot image types or None."""
+        return None
+
+    # ---- dynamic grid theming (theme_for_grid_obj with game state, e.g.
+    # climber's wall_theme, climber.cpp:101-106) ----
+    grid_theme_count: int = 1  # number of per-env theme values
+
+    def grid_themed_types(self):
+        """Grid type ids whose theme is the per-env dynamic theme."""
+        return ()
+
+    def grid_theme_state(self, cfg, state):
+        """Per-env theme scalar for the types in grid_themed_types, or None."""
         return None
 
     def grid_color_rect_lut(self, cfg):
@@ -198,6 +222,19 @@ class GameDef:
         from the top-left -- get_abs_rect, bag.cpp:803-805 -- and colors
         (K, 3) RGB)."""
         return None
+
+    def dynamic_background(self, cfg, state, out, SX, SY, pack):
+        """Per-step custom background pass (starpilot's scrolling tile,
+        starpilot.cpp:110-127).  Overriding this routes the game through the
+        direct render path with this as the background."""
+        return out
+
+    def hud_overlay(self, cfg, state, out, SX, SY):
+        """Free-form per-game screen-space overlay drawn after
+        hud_color_rects (jumper's compass, jumper.cpp:137-177).  ``out`` is
+        the f32 canvas, ``SX``/``SY`` pixel-center coordinate grids.
+        Default: no-op."""
+        return out
 
     def will_reflect(self, cfg, state, src_type, target_type):
         return jnp.asarray(False)
@@ -309,7 +346,13 @@ def base_game_step(gd: GameDef, cfg, state: EnvState) -> EnvState:
         action_vy=F32(0.0),
         action_vrot=F32(0.0),
     )
-    avx, avy, avrot = gd.set_action_xy(cfg, state, move)
+    res = gd.set_action_xy(cfg, state, move)
+    if len(res) == 4:
+        # games whose set_action_xy also mutates state (e.g. climber's
+        # has_support probe, climber.cpp:267-289) return it as 4th element
+        avx, avy, avrot, state = res
+    else:
+        avx, avy, avrot = res
     state = state.replace(action_vx=avx, action_vy=avy, action_vrot=avrot)
 
     # Agent velocity: grid path writes action velocities directly, continuous
@@ -352,18 +395,26 @@ def base_game_step(gd: GameDef, cfg, state: EnvState) -> EnvState:
 
     state = ph.check_grid_collisions(gd, cfg, state, eo.AGENT)
     if not gd.agent_only_smart:
-        # Other smart entities also receive grid collisions (bag.cpp:738-740).
+        # Other smart entities also receive grid collisions (bag.cpp:738-740);
+        # loop over the compact smart-slot list, reverse slot order.
         E = state.ents.capacity
+        M = gd.max_smart_entities or E
+        slot = jnp.arange(E)
+        smart_alive = (
+            state.ents.alive & state.ents.smart_step & (slot != eo.AGENT)
+        )
+        order = jnp.argsort(jnp.where(smart_alive, E - 1 - slot, 2 * E))
+        n_smart = jnp.sum(smart_alive.astype(I32))
 
         def body(k, st):
-            i = E - 1 - k
-            smart = st.ents.smart_step[i] & st.ents.alive[i] & (i != eo.AGENT)
+            i = order[k]
+            ok = k < n_smart
             new = ph.check_grid_collisions(gd, cfg, st, i)
             return jax.tree_util.tree_map(
-                lambda a, b: jnp.where(smart, a, b), new, st
+                lambda a, b: jnp.where(ok, a, b), new, st
             )
 
-        state = jax.lax.fori_loop(0, E, body, state)
+        state = jax.lax.fori_loop(0, M, body, state)
 
     # erase + OOB (bag.cpp:743-745)
     state = state.replace(

@@ -129,15 +129,82 @@ def sub_step(gd, cfg, state: EnvState, idx, _vx, _vy, active):
     nvx = jnp.where(do_reflect & is_horizontal, -obj["vx"], obj["vx"])
     nvy = jnp.where(do_reflect & ~is_horizontal, -obj["vy"], obj["vy"])
 
+    if gd.block_zeroes_velocity_types:
+        # ninja's is_blocked zeroes throwing-star velocity as a side effect
+        # when a wall probe hits (ninja.cpp:139-152): both components stop.
+        zmask = jnp.asarray(False)
+        for t_ in gd.block_zeroes_velocity_types:
+            zmask = zmask | (obj["type"] == t_)
+        stopped = block & zmask & active
+        nvx = jnp.where(stopped, 0.0, nvx)
+        nvy = jnp.where(stopped, 0.0, nvy)
+
     # --- entity interactions (bag.cpp:335-369) ---
     block2 = jnp.asarray(False)
-    if gd.uses_entity_reflect or gd.uses_entity_push:
+    if gd.uses_entity_push and not gd.uses_entity_reflect:
+        # Vectorized push/block: all blockers tested at once; the clamp is
+        # taken from the lowest-index blocker, which is what the reference's
+        # descending sweep leaves last (simultaneous multi-blocker overlaps
+        # beyond that -- stacked crates sharing a top edge -- clamp to the
+        # same boundary, so the outcome matches).
+        E = ents.capacity
+        marange = jnp.arange(E)
+        valid = ents.alive & (marange != idx) & ~ents.will_erase
+        coll = (
+            (jnp.abs(nx - ents.x) < obj["rx"] + ents.rx + POS_EPS)
+            & (jnp.abs(ny - ents.y) < obj["ry"] + ents.ry + POS_EPS)
+        )
+        hit = valid & coll
+        blocked_vec = hit & gd.is_blocked_ents_at(
+            cfg, state, obj["type"], marange, is_horizontal
+        )
+        block2 = jnp.any(blocked_vec)
+        m = jnp.argmin(jnp.where(blocked_vec, marange, E))
+        mc = jnp.clip(m, 0, E - 1)
+        rsx = ents.rx[mc] + obj["rx"]
+        rsy = ents.ry[mc] + obj["ry"]
+        push_dx = ents.x[mc] + jnp.sign(nx - ents.x[mc]) * rsx - nx
+        push_dy = ents.y[mc] + jnp.sign(ny - ents.y[mc]) * rsy - ny
+        px = nx + jnp.where(is_horizontal, push_dx, 0.0)
+        py = ny + jnp.where(is_horizontal, 0.0, push_dy)
+        gblock = jnp.asarray(False)
+        for ii in (0, 1):
+            for jj in (0, 1):
+                cpx = px + obj["rx"] * SUB_STEP_MARGIN * (2 * ii - 1)
+                cpy = py + obj["ry"] * SUB_STEP_MARGIN * (2 * jj - 1)
+                t3 = get_obj_from_floats(state, cpx, cpy)
+                gblock = gblock | gd.is_blocked(
+                    cfg, state, obj["type"], t3, is_horizontal
+                )
+        pcl_x = jnp.where(
+            push_dx > 0,
+            jnp.floor(px + obj["rx"]) - obj["rx"],
+            jnp.ceil(px - obj["rx"]) + obj["rx"],
+        )
+        pcl_y = jnp.where(
+            push_dy > 0,
+            jnp.floor(py + obj["ry"]) - obj["ry"],
+            jnp.ceil(py - obj["ry"]) + obj["ry"],
+        )
+        pcl_x = jnp.where(state.grid_step, nx, pcl_x)
+        pcl_y = jnp.where(state.grid_step, ny, pcl_y)
+        px = jnp.where(gblock & is_horizontal, pcl_x, px)
+        py = jnp.where(gblock & ~is_horizontal, pcl_y, py)
+        appb = block2 & active
+        nx = jnp.where(appb, px, nx)
+        ny = jnp.where(appb, py, ny)
+        nvx = jnp.where(appb & is_horizontal, 0.0, nvx)
+        nvy = jnp.where(appb & ~is_horizontal, 0.0, nvy)
+        state = gd.note_entity_blocks(
+            cfg, state, idx, blocked_vec & active, is_horizontal
+        )
+    elif gd.uses_entity_reflect or gd.uses_entity_push:
         # Sequential reverse sweep: each reflection/push moves the object
         # before the next (lower-index) entity is tested (bag.cpp:337-369).
         E = ents.capacity
 
         def body(k, carry):
-            nx, ny, nvx, nvy, block2 = carry
+            nx, ny, nvx, nvy, block2, blocked_vec = carry
             m = E - 1 - k
             valid = (
                 ents.alive[m]
@@ -214,11 +281,16 @@ def sub_step(gd, cfg, state: EnvState, idx, _vx, _vy, active):
                 nvy = jnp.where(appb & ~is_horizontal, 0.0, nvy)
 
             block2 = block2 | blocked_m
-            return nx, ny, nvx, nvy, block2
+            blocked_vec = blocked_vec.at[m].set(blocked_m & active)
+            return nx, ny, nvx, nvy, block2, blocked_vec
 
-        nx, ny, nvx, nvy, block2 = jax.lax.fori_loop(
-            0, E, body, (nx, ny, nvx, nvy, block2)
+        nx, ny, nvx, nvy, block2, blocked_vec = jax.lax.fori_loop(
+            0, E, body,
+            (nx, ny, nvx, nvy, block2, jnp.zeros((E,), jnp.bool_)),
         )
+        # games that need the identity of blocking entities (coinrun's
+        # is_on_crate side effect, coinrun.cpp:187-202) observe it here
+        state = gd.note_entity_blocks(cfg, state, idx, blocked_vec, is_horizontal)
     else:
         # No game callback can block/reflect on entities: default
         # is_blocked_ents == is_blocked(type), which only triggers for
@@ -323,22 +395,33 @@ def step_entities(gd, cfg, state: EnvState) -> EnvState:
         )
         return state
 
-    # General path: sequential reverse sweep; each slot fully steps before
-    # lower-index slots observe its new position.
+    # General path: non-smart Euler updates commute and never act as moving
+    # blockers for the ported games (crates/orbs/lava walls are static,
+    # balls/trails neither block nor reflect anything), so they run as one
+    # vector op; only the <= max_smart_entities smart slots take the
+    # sequential sub-step path, in the reference's reverse slot order.
     E = ents.capacity
+    M = gd.max_smart_entities or E
+    nonsmart = ents.alive & ~ents.smart_step
+    state = state.replace(ents=entity_euler_step_all(ents, nonsmart))
+
+    slot = jnp.arange(E)
+    smart_alive = state.ents.alive & state.ents.smart_step
+    key = jnp.where(smart_alive, E - 1 - slot, 2 * E)  # descending slots first
+    order = jnp.argsort(key)
+    n_smart = jnp.sum(smart_alive.astype(jnp.int32))
 
     def body(k, state):
-        i = E - 1 - k
-        alive = state.ents.alive[i]
-        smart = state.ents.smart_step[i]
-        state = basic_step_object(gd, cfg, state, i, active=alive & smart)
-        one = jnp.zeros((E,), jnp.bool_).at[i].set(True)
+        i = order[k]
+        ok = (k < n_smart)
+        state = basic_step_object(gd, cfg, state, i, active=ok)
+        one = jnp.zeros((E,), jnp.bool_).at[i].set(ok)
         state = state.replace(
             ents=entity_euler_step_all(state.ents, one & state.ents.alive)
         )
         return state
 
-    return jax.lax.fori_loop(0, E, body, state)
+    return jax.lax.fori_loop(0, M, body, state)
 
 
 def check_grid_collisions(gd, cfg, state: EnvState, idx) -> EnvState:

@@ -30,14 +30,20 @@ def make_game(cfg):
 def _import_all():
     import procgen_tpu.games.bigfish  # noqa: F401
     import procgen_tpu.games.bossfight  # noqa: F401
+    import procgen_tpu.games.caveflyer  # noqa: F401
     import procgen_tpu.games.chaser  # noqa: F401
+    import procgen_tpu.games.coinrun  # noqa: F401
+    import procgen_tpu.games.climber  # noqa: F401
     import procgen_tpu.games.dodgeball  # noqa: F401
     import procgen_tpu.games.fruitbot  # noqa: F401
     import procgen_tpu.games.heist  # noqa: F401
+    import procgen_tpu.games.jumper  # noqa: F401
     import procgen_tpu.games.leaper  # noqa: F401
     import procgen_tpu.games.maze  # noqa: F401
     import procgen_tpu.games.miner  # noqa: F401
+    import procgen_tpu.games.ninja  # noqa: F401
     import procgen_tpu.games.plunder  # noqa: F401
+    import procgen_tpu.games.starpilot  # noqa: F401
 
 
 def available_games():

@@ -41,7 +41,8 @@ class Dodgeball(GameDef):
     out_of_bounds_object = OOB_WALL
     background_group = "topdown_backgrounds"
     uses_pair_collisions = True
-    uses_entity_reflect = True  # enemies bounce off lava walls
+    uses_entity_reflect = True  # enemies bounce off lava-wall entities
+    max_smart_entities = 24  # agent + <= 19 enemies
     agent_only_smart = False  # enemies are smart_step
     entity_rotations = "free"  # face_direction diagonals, spinning balls
     max_substeps = 8

@@ -86,17 +86,27 @@ class RenderPack:
         self.grid_theme_lut = gd.grid_theme_lut(cfg)
 
         # composite per-cell-type lut for the fast grid pass: 0 = draw
-        # nothing, k >= 1 = sprite slot k-1
-        gsl = np.zeros((GRID_TYPE_LUT_SIZE,), np.int32)
-        for t in range(GRID_TYPE_LUT_SIZE):
-            img = int(self.grid_image_lut[t])
-            theme = int(self.grid_theme_lut[t])
-            if t == O.SPACE or img < 0 or img >= O.MAX_ASSETS:
-                continue
-            s = int(slot_lut[img, min(theme, O.MAX_IMAGE_THEMES - 1)])
-            if s >= 0:
-                gsl[t] = s + 1
-        self.grid_slot_lut = gsl
+        # nothing, k >= 1 = sprite slot k-1.  Row d holds the lut with the
+        # per-env dynamic theme d applied to gd.grid_themed_types (one row
+        # for games without dynamic grid themes).
+        themed = set(gd.grid_themed_types())
+        n_themes = max(gd.grid_theme_count, 1)
+        gsl = np.zeros((n_themes, GRID_TYPE_LUT_SIZE), np.int32)
+        for d in range(n_themes):
+            for t in range(GRID_TYPE_LUT_SIZE):
+                img = int(self.grid_image_lut[t])
+                theme = d if t in themed else int(self.grid_theme_lut[t])
+                if t == O.SPACE or img < 0 or img >= O.MAX_ASSETS:
+                    continue
+                s = int(slot_lut[img, min(theme, O.MAX_IMAGE_THEMES - 1)])
+                if s >= 0:
+                    gsl[d, t] = s + 1
+        self.grid_slot_lut_themed = gsl
+        self.grid_slot_lut = gsl[0]
+        mask = np.zeros((GRID_TYPE_LUT_SIZE,), bool)
+        for t in themed:
+            mask[t] = True
+        self.grid_themed_mask = mask
 
 
 def _nearest_resize(img: np.ndarray, h: int, w: int) -> np.ndarray:

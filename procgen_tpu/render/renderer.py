@@ -171,6 +171,11 @@ def render_static_env(gd, cfg, state: EnvState, pack, parts=("bg", "grid")) -> j
     cell_type_c = jnp.clip(cell_type, 0, grid_image_lut.shape[0] - 1)
     img_type = grid_image_lut[cell_type_c]
     theme = grid_theme_lut[cell_type_c]
+    gts = gd.grid_theme_state(cfg, state)
+    if gts is not None:
+        theme = jnp.where(
+            jnp.asarray(pack.grid_themed_mask)[cell_type_c], gts, theme
+        )
     has_asset = (img_type >= 0) & (img_type < O.MAX_ASSETS)
     draw_cell = cell_valid & has_asset & (cell_type != O.SPACE)
     slot = slot_lut[
@@ -228,6 +233,11 @@ def _grid_pass_gather(gd, cfg, state: EnvState, pack, out):
     cell_type_c = jnp.clip(cell_type, 0, grid_image_lut.shape[0] - 1)
     img_type = grid_image_lut[cell_type_c]
     theme = grid_theme_lut[cell_type_c]
+    gts = gd.grid_theme_state(cfg, state)
+    if gts is not None:
+        theme = jnp.where(
+            jnp.asarray(pack.grid_themed_mask)[cell_type_c], gts, theme
+        )
     has_asset = (img_type >= 0) & (img_type < O.MAX_ASSETS)
     draw_cell = cell_valid & has_asset & (cell_type != O.SPACE)
     slot = slot_lut[
@@ -358,7 +368,10 @@ def _composite_entities_gather(gd, cfg, state, pack, out, z_filter="all"):
         a = jnp.where(inside & ok, a, 0.0)
         return rgb * a[..., None] + out * (1 - a[..., None])
 
-    return jax.lax.fori_loop(0, E, draw_one, out)
+    # order sorts alive entities first, so the loop can stop at the live
+    # count (dynamic bound lowers to a while_loop; big win for large tables)
+    n_draw = jnp.sum(ents.alive.astype(I32))
+    return jax.lax.fori_loop(0, n_draw, draw_one, out)
 
 
 def _composite_entities_matmul(gd, cfg, state, pack, out, z_filter="all"):
@@ -436,7 +449,8 @@ def _composite_entities_matmul(gd, cfg, state, pack, out, z_filter="all"):
         a = spr[..., 3] / 255.0 * ents.alpha[i]
         return spr[..., :3] * a[..., None] + out * (1 - a[..., None])
 
-    return jax.lax.fori_loop(0, E, draw_one, out)
+    n_draw = jnp.sum(ents.alive.astype(I32))
+    return jax.lax.fori_loop(0, n_draw, draw_one, out)
 
 
 def _paint_vel_info(gd, cfg, state, out):
@@ -465,22 +479,33 @@ def _paint_vel_info(gd, cfg, state, out):
 def _paint_hud(gd, cfg, state, out):
     """Per-game post-entity fillRect overlays (get_abs_rect coords)."""
     hud = gd.hud_color_rects(cfg, state)
-    if hud is None:
-        return out
-    rects, colors = hud
     SX, SY, _, _ = _pixel_world_coords(state)
-    for k in range(rects.shape[0]):
-        x0 = rects[k, 0] * state.unit
-        y0 = rects[k, 1] * state.unit
-        w = rects[k, 2] * state.unit
-        h = rects[k, 3] * state.unit
-        inside = (SX >= x0) & (SX < x0 + w) & (SY >= y0) & (SY < y0 + h)
-        out = jnp.where(inside[..., None], colors[k].astype(F32), out)
+    if hud is not None:
+        rects, colors = hud
+        for k in range(rects.shape[0]):
+            x0 = rects[k, 0] * state.unit
+            y0 = rects[k, 1] * state.unit
+            w = rects[k, 2] * state.unit
+            h = rects[k, 3] * state.unit
+            inside = (SX >= x0) & (SX < x0 + w) & (SY >= y0) & (SY < y0 + h)
+            out = jnp.where(inside[..., None], colors[k].astype(F32), out)
+    out = gd.hud_overlay(cfg, state, out, SX, SY)
     return out
 
 
 def render_env(gd, cfg, state: EnvState, pack) -> jax.Array:
     """Direct single-pass render (parity/golden path, center-agent games)."""
+    from procgen_tpu.engine.base import GameDef as _GD
+
+    if type(gd).dynamic_background is not _GD.dynamic_background:
+        # per-step custom background (starpilot's scroll); no grid content
+        SX, SY, _, _ = _pixel_world_coords(state)
+        out = jnp.zeros((RES, RES, 3), F32)
+        out = gd.dynamic_background(cfg, state, out, SX, SY, pack)
+        out = _composite_entities_gather(gd, cfg, state, pack, out)
+        out = _paint_vel_info(gd, cfg, state, out)
+        out = _paint_hud(gd, cfg, state, out)
+        return jnp.clip(out + 0.5, 0, 255).astype(jnp.uint8)
     if getattr(gd, "grid_dynamic", False):
         out = render_static_env(gd, cfg, state, pack, parts=("bg",)).astype(F32)
         out = _composite_entities_gather(gd, cfg, state, pack, out, "neg")
@@ -586,7 +611,13 @@ def _grid_fast_one(gd, cfg, state: EnvState, pack, out) -> jax.Array:
     wxv = wx[0]
     wyv = wy[:, 0]
 
-    grid_slot_lut = jnp.asarray(pack.grid_slot_lut)
+    gts = gd.grid_theme_state(cfg, state)
+    if gts is None:
+        grid_slot_lut = jnp.asarray(pack.grid_slot_lut)
+    else:
+        grid_slot_lut = jnp.asarray(pack.grid_slot_lut_themed)[
+            jnp.clip(gts, 0, pack.grid_slot_lut_themed.shape[0] - 1)
+        ]
     Hm, Wm = state.grid.shape
     slot_grid = grid_slot_lut[
         jnp.clip(state.grid, 0, grid_slot_lut.shape[0] - 1)
@@ -871,7 +902,14 @@ def render_frames(gd, cfg, states: EnvState, pack) -> jax.Array:
             0, kmax, lambda k, o: draw_k_class(k, o, "all"), out
         )
     out = _paint_vel_info_batched(gd, cfg, states, out)
-    if gd.hud_color_rects(cfg, jax.tree_util.tree_map(lambda x: x[0], states)) is not None:
+    from procgen_tpu.engine.base import GameDef as _GD
+
+    has_hud = (
+        gd.hud_color_rects(cfg, jax.tree_util.tree_map(lambda x: x[0], states))
+        is not None
+        or type(gd).hud_overlay is not _GD.hud_overlay
+    )
+    if has_hud:
         out = jax.vmap(lambda s, o: _paint_hud(gd, cfg, s, o))(states, out)
     return jnp.clip(out + 0.5, 0, 255).astype(jnp.uint8)
 

@@ -254,6 +254,21 @@ def blk_raw(blk: MTBlock, active=None) -> tuple[MTBlock, jax.Array]:
     return blk._replace(cursor=blk.cursor + inc), v
 
 
+def blk_raw_vec(blk: MTBlock, k: int) -> tuple[MTBlock, jax.Array]:
+    """Draw ``k`` consecutive raw outputs at once (static k); one dynamic
+    slice instead of k cursor bumps.  Used by bulk levelgen passes (e.g.
+    caveflyer's per-cell noise, caveflyer.cpp:152-158)."""
+    start = jnp.clip(blk.cursor, 0, max(blk.vals.shape[-1] - k, 0))
+    v = jax.lax.dynamic_slice_in_dim(blk.vals, start, k, axis=-1)
+    return blk._replace(cursor=blk.cursor + k), v
+
+
+def rs_rand01_vec(rs, k: int):
+    """k consecutive rand01 draws from an open block."""
+    rs, x = blk_raw_vec(rs, k)
+    return rs, x.astype(jnp.float32) * _INV_2_32
+
+
 def blk_overflowed(blk: MTBlock) -> jax.Array:
     """True where more draws were consumed than prefetched (stream would be
     wrong; sized per game so this cannot happen in-distribution)."""

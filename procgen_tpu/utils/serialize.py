@@ -117,6 +117,36 @@ class Reader:
         return [self.read_float() for _ in range(self.read_int())]
 
 
+_ENTITY_CTOR_DEFAULTS = {
+    "vx": 0.0, "vy": 0.0, "image_theme": 0, "render_z": 0, "will_erase": 0,
+    "collides_with_entities": 0, "collision_margin": 0.0, "rotation": 0.0,
+    "vrot": 0.0, "is_reflected": 0, "fire_time": -1, "spawn_time": -1,
+    "life_time": 0, "expire_time": -1, "use_abs_coords": 0, "friction": 1.0,
+    "smart_step": 0, "avoids_collisions": 0, "auto_erase": 1, "alpha": 1.0,
+    "health": 1.0, "theta": -100.0, "grow_rate": 1.0, "alpha_decay": 1.0,
+    "climber_spawn_x": 0.0,
+}
+
+
+def write_entity_defaults(w: Writer, vals: dict) -> None:
+    """Entity::serialize byte layout from a partial field dict (missing
+    fields take the ctor defaults); used for starpilot's spawner list."""
+    for name, t in _ENTITY_LAYOUT:
+        v = vals.get(name, _ENTITY_CTOR_DEFAULTS.get(name, 0))
+        if t == "f":
+            w.write_float(float(v))
+        else:
+            w.write_int(int(v))
+
+
+def read_entity_fields(r: Reader) -> dict:
+    """Inverse of one Entity::serialize record."""
+    out = {}
+    for name, t in _ENTITY_LAYOUT:
+        out[name] = r.read_float() if t == "f" else r.read_int()
+    return out
+
+
 def _write_randgen(w: Writer, key: np.ndarray, pos: int, seeded: bool = True):
     """RandGen::serialize (randgen.cpp:100-106)."""
     w.write_int(1 if seeded else 0)

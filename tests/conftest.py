@@ -18,6 +18,10 @@ import jax
 
 # The axon TPU plugin can override JAX_PLATFORMS; the config knob wins.
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: levelgen graphs are large and identical across
+# test runs; caching cuts reruns from minutes to seconds.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 import subprocess
 from pathlib import Path
