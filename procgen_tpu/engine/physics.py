@@ -66,9 +66,10 @@ def sub_step(gd, cfg, state: EnvState, idx, _vx, _vy, active):
     Returns (state, blocked).  ``active`` gates all writes (per-env masking
     for envs/iterations that broke out of the substep loop).
 
-    Round-1 limitation: entity *pushing* (push_obj, bag.cpp:240-268; used only
-    by coinrun/heist via their is_blocked_ents overrides) is gated behind
-    gd.uses_entity_push and not yet implemented.
+    Entity *pushing* (push_obj, bag.cpp:240-268) is implemented below in two
+    forms gated on gd.uses_entity_push: a vectorized all-blockers pass and a
+    sequential reverse sweep when combined with reflection; push recursion
+    beyond depth 1 (a pushed blocker pushing a third entity) is elided.
     """
     ents = state.ents
     obj = {k: getattr(ents, k)[idx] for k in ("x", "y", "vx", "vy", "rx", "ry", "type", "will_erase")}

@@ -74,7 +74,7 @@ class LeaperGame(GameDef):
             FINISH_LINE: ["misc_assets/finish2.png"],
         }
 
-    def tile_ratio_for(self, img_type):
+    def tile_ratio_for(self, img_type, rx=None, ry=None):
         # leaper.cpp:69-75: FINISH_LINE tiles horizontally with ratio 1
         return jnp.where(img_type == FINISH_LINE, F32(1.0), F32(0.0))
 
