@@ -1,50 +1,44 @@
 #!/usr/bin/env python
 """Throughput benchmark: rendered env-steps/s on the local accelerator.
 
-Runs the fast (level-queue) stepping path with per-step 64x64 RGB rendering
-inside a jitted lax.scan, random on-device actions, and reports ONE json
-line:  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Each game runs in its OWN subprocess (compiled executables + atlas constants
+otherwise accumulate in HBM across games and starve the later ones).  The
+parent reports ONE json line:
 
-vs_baseline is measured against the target of 1,000,000 env-steps/s/chip
-(BASELINE.md).
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "per_game": {...}}
+
+``value`` is the mean over ALL games, counting failures as 0.
+vs_baseline is against the 1,000,000 env-steps/s/chip target (BASELINE.md).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import subprocess
 import sys
 import time
-
-import jax
-import jax.numpy as jnp
-
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
-
-from procgen_tpu.config import EnvConfig, DistributionMode
-from procgen_tpu.engine.game import reset_env
-from procgen_tpu.games import make_game, available_games
-from procgen_tpu.parallel.fast import make_fast_fns
-from procgen_tpu.render.pack import RenderPack
-from procgen_tpu.render.renderer import render_frames, update_view_params
-from procgen_tpu import rng as R
-from procgen_tpu.state import init_state_template
 
 TARGET_STEPS_PER_SEC = 1_000_000.0
 
 
-def build_initial(gd, cfg, n, seed):
-    tmpl = init_state_template(gd, cfg)
-    batched = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x, (n,) + x.shape), tmpl
-    )
-    master = R.HostMT(seed)
-    seeds = jnp.asarray([master.randint_full() for _ in range(n)], jnp.int32)
-    return batched.replace(level_seed_rng=R.mt_seed(seeds))
-
-
 def bench_game(name: str, num_envs: int, chunk: int, chunks: int, render: bool):
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+    from procgen_tpu.config import EnvConfig, DistributionMode
+    from procgen_tpu.engine.game import reset_env
+    from procgen_tpu.games import make_game
+    from procgen_tpu.parallel.fast import make_fast_fns
+    from procgen_tpu.render.pack import RenderPack
+    from procgen_tpu.render.fast2 import render_frames2
+    from procgen_tpu.render.renderer import update_view_params
+    from procgen_tpu import rng as R
+    from procgen_tpu.state import init_state_template
+
     cfg = EnvConfig(
         env_name=name,
         num_envs=num_envs,
@@ -53,12 +47,22 @@ def bench_game(name: str, num_envs: int, chunk: int, chunks: int, render: bool):
     )
     gd = make_game(cfg)
     pack = RenderPack(gd, cfg)
-    fast_init, fast_step = make_fast_fns(gd, cfg, pack, refill_bucket=max(256, num_envs // 8))
-
-    reset_all = jax.jit(
-        jax.vmap(lambda s: update_view_params(gd, cfg, reset_env(gd, cfg, s)))
+    fast_init, fast_step = make_fast_fns(
+        gd, cfg, pack, refill_bucket=max(256, num_envs // 8)
     )
-    state = reset_all(build_initial(gd, cfg, num_envs, seed=123))
+
+    tmpl = init_state_template(gd, cfg)
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (num_envs,) + x.shape), tmpl
+    )
+    master = R.HostMT(123)
+    seeds = jnp.asarray(
+        [master.randint_full() for _ in range(num_envs)], jnp.int32
+    )
+    state = batched.replace(level_seed_rng=R.mt_seed(seeds))
+    state = jax.jit(
+        jax.vmap(lambda s: update_view_params(gd, cfg, reset_env(gd, cfg, s)))
+    )(state)
     fs = jax.jit(fast_init)(state)
 
     def scan_chunk(carry, _):
@@ -67,7 +71,7 @@ def bench_game(name: str, num_envs: int, chunk: int, chunks: int, render: bool):
         acts = jax.random.randint(sub, (num_envs,), 0, 15, jnp.int32)
         fs = fast_step(fs, acts)
         if render:
-            obs = render_frames(gd, cfg, fs.state, pack)
+            obs = render_frames2(gd, cfg, fs.state, pack)
             checksum = checksum + jnp.sum(obs[:, 31, 31, :].astype(jnp.uint32))
         return (fs, key, checksum), None
 
@@ -80,7 +84,6 @@ def bench_game(name: str, num_envs: int, chunk: int, chunks: int, render: bool):
 
     key = jax.random.PRNGKey(0)
     checksum = jnp.asarray(0, jnp.uint32)
-    # warmup & compile
     t0 = time.time()
     fs, key, checksum = run_chunk(fs, key, checksum)
     jax.block_until_ready(checksum)
@@ -102,6 +105,42 @@ def bench_game(name: str, num_envs: int, chunk: int, chunks: int, render: bool):
     return sps
 
 
+def run_one_subprocess(game, args):
+    """Run one game's bench in a fresh process; returns (steps/s, num_envs)."""
+    n = args.num_envs
+    while True:
+        cmd = [
+            sys.executable, __file__, "--one", game,
+            "--num-envs", str(n), "--chunk", str(args.chunk),
+            "--chunks", str(args.chunks),
+        ]
+        if args.no_render:
+            cmd.append("--no-render")
+        try:
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=1500
+            )
+        except subprocess.TimeoutExpired:
+            print(f"# {game}: TIMEOUT at num_envs={n}", file=sys.stderr)
+            out = None
+        if out is not None and out.returncode == 0:
+            for line in out.stdout.splitlines():
+                if line.startswith("{"):
+                    d = json.loads(line)
+                    sys.stderr.write(out.stderr)
+                    return d["steps_per_sec"], n
+        if out is not None:
+            tail = (out.stderr or "").strip().splitlines()[-3:]
+            print(
+                f"# {game}: FAILED at num_envs={n}: " + " | ".join(tail),
+                file=sys.stderr,
+            )
+        if n <= 512:
+            return 0.0, n
+        n //= 4
+        print(f"# {game}: retrying at num_envs={n}", file=sys.stderr)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--num-envs", type=int, default=8192)
@@ -109,32 +148,27 @@ def main():
     ap.add_argument("--chunks", type=int, default=4)
     ap.add_argument("--games", type=str, default="")
     ap.add_argument("--no-render", action="store_true")
+    ap.add_argument("--one", type=str, default="", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
+    if args.one:
+        sps = bench_game(
+            args.one, args.num_envs, args.chunk, args.chunks,
+            render=not args.no_render,
+        )
+        print(json.dumps({"steps_per_sec": sps}))
+        return
+
+    from procgen_tpu.games import available_games
+
     games = args.games.split(",") if args.games else available_games()
-    rates = []
+    per_game = {}
     for g in games:
-        n = args.num_envs
-        while True:
-            try:
-                sps = bench_game(
-                    g, n, args.chunk, args.chunks, render=not args.no_render
-                )
-                break
-            except Exception as e:  # e.g. tunnel compile-size limits
-                if n <= 256:
-                    print(f"# {g}: FAILED ({e})", file=sys.stderr)
-                    sps = 0.0
-                    break
-                n //= 4
-                print(
-                    f"# {g}: retrying at num_envs={n} ({type(e).__name__})",
-                    file=sys.stderr,
-                )
-        rates.append(sps)
-    value = sum(r for r in rates if r > 0) / max(
-        sum(1 for r in rates if r > 0), 1
-    )
+        sps, n = run_one_subprocess(g, args)
+        per_game[g] = round(sps, 1)
+    # failures count as 0 in the mean -- a game that can't run is a gap,
+    # not a reason to inflate the average
+    value = sum(per_game.values()) / max(len(per_game), 1)
     print(
         json.dumps(
             {
@@ -142,6 +176,7 @@ def main():
                 "value": round(value, 1),
                 "unit": "steps/s",
                 "vs_baseline": round(value / TARGET_STEPS_PER_SEC, 4),
+                "per_game": per_game,
             }
         )
     )

@@ -119,6 +119,18 @@ class GameDef:
 
         return pack.default_grid_theme_lut()
 
+    def grid_cell_types(self, cfg):
+        """Cell types this game's grid can contain (narrows the v2 grid
+        pass to K texture classes); None = auto-derive every type that has
+        an asset (conservative but slower)."""
+        return None
+
+    def dynamic_bg_rect(self, cfg, states):
+        """Batched parameters for dynamic_background games (starpilot):
+        (x0, tile_w, w_total, y0, h) arrays of screen-px, for a horizontally
+        tiled blit sampled from the cached bg mip."""
+        raise NotImplementedError
+
     # ---- per-game state extras ----
     def init_extra(self, cfg) -> dict:
         return {}

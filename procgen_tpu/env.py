@@ -27,12 +27,8 @@ from procgen_tpu.config import EnvConfig, DistributionMode
 from procgen_tpu.engine.game import reset_env, step_env
 from procgen_tpu.games import make_game
 from procgen_tpu.render.pack import RenderPack
-from procgen_tpu.render.renderer import (
-    render_env,
-    render_frames,
-    render_static_dispatch,
-    update_view_params,
-)
+from procgen_tpu.render.fast2 import render_frames2, render_static2
+from procgen_tpu.render.renderer import render_env, update_view_params
 from procgen_tpu.state import EnvState, init_state_template
 
 DISTRIBUTION_MODE_NAMES = {
@@ -106,29 +102,42 @@ class ProcgenTPUEnv:
 
         gd, pack = self.gd, self.pack
 
-        def _refresh_static(state, force=False):
-            fresh = render_static_dispatch(gd, cfg, state, pack)
+        def _refresh_static_batched(states, force=False):
+            # recompute the per-level static layer only when some env needs
+            # it (the naive jnp.where(done, fresh, ...) would pay full
+            # levelgen-render cost every step for every env)
+            def fresh(ss):
+                new = render_static2(gd, cfg, ss, pack)
+                if force:
+                    return ss.replace(static_layer=new)
+                return ss.replace(
+                    static_layer=jnp.where(
+                        ss.done[:, None, None, None], new, ss.static_layer
+                    )
+                )
+
             if force:
-                return state.replace(static_layer=fresh)
-            return state.replace(
-                static_layer=jnp.where(state.done, fresh, state.static_layer)
+                return fresh(states)
+            return jax.lax.cond(
+                jnp.any(states.done), fresh, lambda ss: ss, states
             )
 
-        def _reset_one(state):
-            state = reset_env(gd, cfg, state)
-            state = update_view_params(gd, cfg, state)
-            return _refresh_static(state, force=True)
+        def _reset_all(states):
+            states = jax.vmap(
+                lambda s: update_view_params(gd, cfg, reset_env(gd, cfg, s))
+            )(states)
+            return _refresh_static_batched(states, force=True)
 
-        def _step_one(state, action):
-            state = step_env(gd, cfg, state, action)
-            state = update_view_params(gd, cfg, state)
-            return _refresh_static(state)
+        def _step_all(states, actions):
+            states = jax.vmap(
+                lambda s, a: update_view_params(gd, cfg, step_env(gd, cfg, s, a))
+            )(states, actions)
+            return _refresh_static_batched(states)
 
-
-        self._reset_all = jax.jit(jax.vmap(_reset_one))
-        self._step_all = jax.jit(jax.vmap(_step_one))
+        self._reset_all = jax.jit(_reset_all)
+        self._step_all = jax.jit(_step_all)
         self._render_all = jax.jit(
-            lambda states: render_frames(gd, cfg, states, pack)
+            lambda states: render_frames2(gd, cfg, states, pack)
         )
         # render_human path: hi-res info "rgb" (vecgame.cpp:270-282, 367-375;
         # the reference renders 512x512 with antialiasing, here nearest)
@@ -225,12 +234,8 @@ class ProcgenTPUEnv:
         self.state = ser.set_state(self.gd, self.cfg, self.state, blobs)
         # re-render so buffers are consistent (vecgame.cpp:455)
         self.state = jax.jit(
-            jax.vmap(
-                lambda s: s.replace(
-                    static_layer=render_static_dispatch(
-                        self.gd, self.cfg, s, self.pack
-                    )
-                )
+            lambda ss: ss.replace(
+                static_layer=render_static2(self.gd, self.cfg, ss, self.pack)
             )
         )(self.state)
         self._obs = self._render() if self._do_render else None

@@ -162,6 +162,19 @@ class StarPilot(GameDef):
     def center_agent(self, cfg):
         return False  # starpilot.cpp:333
 
+    def dynamic_bg_rect(self, cfg, states):
+        """Batched scroll-blit params (starpilot.cpp:110-127)."""
+        scale = 64.0 / 16.0
+        bg_k = 3.0
+        t = states.cur_time.astype(F32)
+        x0 = -t * scale * F32(self.hp_slow_v) * 2 / states.char_dim
+        h = jnp.full_like(x0, 64.0 * bg_k)
+        w = h * BG_RATIO
+        y0 = jnp.full_like(x0, -64.0 * (bg_k - 1) / 2)
+        n_tiles = int((64.0 * bg_k * BG_RATIO) / (64.0 * bg_k))
+        tile_w = w / n_tiles
+        return x0, tile_w, w, y0, h
+
     def dynamic_background(self, cfg, state, out, SX, SY, pack):
         """Scrolling tiled space background (starpilot.cpp:110-127)."""
         if not cfg.use_backgrounds:

@@ -26,7 +26,8 @@ from procgen_tpu.engine.game import (
     reset_env,
     step_env_no_reset,
 )
-from procgen_tpu.render.renderer import render_static_dispatch, update_view_params
+from procgen_tpu.render.fast2 import render_static2
+from procgen_tpu.render.renderer import update_view_params
 from procgen_tpu.state import EnvState, tree_select
 
 # step-output fields that must come from the dying step, not the pregen entry
@@ -56,11 +57,14 @@ def make_fast_fns(gd, cfg, pack, refill_bucket: int = 1024):
             "use_sequential_levels requires the inline reset path"
         )
 
-    def _pregen_one(s):
-        s = update_view_params(gd, cfg, reset_env(gd, cfg, s))
-        return s.replace(static_layer=render_static_dispatch(gd, cfg, s, pack))
+    def pregen(states):
+        states = jax.vmap(
+            lambda s: update_view_params(gd, cfg, reset_env(gd, cfg, s))
+        )(states)
+        return states.replace(
+            static_layer=render_static2(gd, cfg, states, pack)
+        )
 
-    pregen = jax.vmap(_pregen_one)
     view = jax.vmap(lambda s: update_view_params(gd, cfg, s))
 
     def full_refill(fs: FastState) -> FastState:
@@ -72,9 +76,7 @@ def make_fast_fns(gd, cfg, pack, refill_bucket: int = 1024):
         n = state.done.shape[0]
         # ensure the live state's static layer is rendered (first episodes)
         state = state.replace(
-            static_layer=jax.vmap(
-                lambda s: render_static_dispatch(gd, cfg, s, pack)
-            )(state)
+            static_layer=render_static2(gd, cfg, state, pack)
         )
         fs = FastState(state, state, jnp.zeros((n,), jnp.bool_))
         return full_refill(fs)

@@ -108,6 +108,79 @@ class RenderPack:
             mask[t] = True
         self.grid_themed_mask = mask
 
+        # ---- v2 renderer tables (render/fast2.py) ----
+        # rotation-variant atlas: each slot carries A prerendered rotation
+        # bins (axis bins are exact 90-degree transposes; free bins quantize
+        # the painter rotation of bag.cpp:899-906 to 2*pi/A)
+        self.rot_bins = {"none": 1, "axis": 4, "free": 16}[gd.entity_rotations]
+        self.var_mips = _make_rotation_variants(self.sprite_mips, self.rot_bins)
+
+        # entity image-type -> theme-0 base slot (slots are theme-consecutive
+        # by construction above, so slot = base + image_theme)
+        self.ent_types = np.asarray(sorted(amap.keys()), np.int32)
+        self.ent_bases = np.asarray(
+            [slot_lut[t, 0] for t in self.ent_types], np.float32
+        )
+
+        # grid cell classes: the (few) cell types a grid can contain, each
+        # mapping to a base slot (+ per-env theme when themed).  Games narrow
+        # the auto-derived set with grid_cell_types() for speed.
+        explicit = gd.grid_cell_types(cfg)
+        if explicit is not None:
+            cand = [int(t) for t in explicit]
+        else:
+            cand = [
+                int(t)
+                for t in np.nonzero(gsl[0])[0]
+                if int(self.grid_image_lut[t]) != O.PLAYER
+            ]
+        self.grid_class_types = np.asarray(cand, np.int32)
+        self.grid_class_bases = np.asarray(
+            [gsl[0, t] - 1 for t in cand], np.float32
+        )
+        self.grid_class_themed = np.asarray(
+            [bool(mask[t]) for t in cand], bool
+        )
+
+        # fixed-res bg mips for the batched bg pass
+        self.bg_mip64 = np.zeros((len(bgs), 64, 64, 3), np.uint8)
+        for k, b in enumerate(bgs):
+            self.bg_mip64[k] = _nearest_resize(b[..., :3], 64, 64)
+
+
+def _make_rotation_variants(mips: np.ndarray, A: int) -> np.ndarray:
+    """(n, R, R, 4) -> (n * A, R, R, 4): bin a holds the sprite rotated by
+    2*pi*a/A, prerendered into its rotated bounding box (square rects; axis
+    bins are aspect-exact).  Draw rects scale by |cos|+|sin| at render time."""
+    n, R = mips.shape[0], mips.shape[1]
+    if A == 1:
+        return mips.copy()
+    out = np.zeros((n * A, R, R, 4), np.uint8)
+    pu = (np.arange(R) + 0.5) / R - 0.5
+    for a in range(A):
+        th = 2 * np.pi * a / A
+        c, s = np.cos(th), np.sin(th)
+        if abs(c) < 1e-9:
+            c = 0.0
+        if abs(s) < 1e-9:
+            s = 0.0
+        c = round(c) if abs(c - round(c)) < 1e-9 else c
+        s = round(s) if abs(s - round(s)) < 1e-9 else s
+        f = abs(c) + abs(s)
+        # u/v in sprite space for each variant texel (inverse painter rotate)
+        U = c * f * pu[None, :] + s * f * pu[:, None] + 0.5  # (vy, vx)
+        V = -s * f * pu[None, :] + c * f * pu[:, None] + 0.5
+        su = np.floor(U * R).astype(np.int64)
+        sv = np.floor(V * R).astype(np.int64)
+        inside = (su >= 0) & (su < R) & (sv >= 0) & (sv < R)
+        su_c = np.clip(su, 0, R - 1)
+        sv_c = np.clip(sv, 0, R - 1)
+        for k in range(n):
+            img = mips[k][sv_c, su_c]
+            img[~inside] = 0
+            out[k * A + a] = img
+    return out
+
 
 def _nearest_resize(img: np.ndarray, h: int, w: int) -> np.ndarray:
     ys = np.floor((np.arange(h) + 0.5) * img.shape[0] / h).astype(np.int64)

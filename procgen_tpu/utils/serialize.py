@@ -174,7 +174,9 @@ def serialize_env(gd, cfg, s, i: int) -> bytes:
     w.write_int(int(cfg.use_monochrome_assets))
     w.write_int(int(cfg.restrict_themes))
     w.write_int(int(cfg.use_backgrounds))
-    w.write_int(int(cfg.center_agent))
+    # games overwrite options.center_agent in game_reset (e.g. maze.cpp:66,
+    # chaser.cpp:166); the serialized value is the game-effective one
+    w.write_int(int(gd.center_agent(cfg)))
     w.write_int(0)  # debug_mode
     w.write_int(int(cfg.distribution_mode))
     w.write_int(int(cfg.use_sequential_levels))
