@@ -101,6 +101,13 @@ class EnvConfig:
         )
 
     @property
+    def effective_fixed_asset_seed(self) -> int:
+        """Per-game generated-asset seed: FNV-1a of the game name
+        (vecgame.cpp:156-167, 322-327; the fixed_asset_seed option defaults
+        to 0 which triggers the hash)."""
+        return fnv1a_hash_str_uint32(self.env_name)
+
+    @property
     def level_seed_low(self) -> int:
         # vecgame.cpp:176-183
         return 0 if self.num_levels == 0 else self.start_level

@@ -105,6 +105,16 @@ class GameDef:
         """type -> theme-ordered sprite paths (asset_for_type equivalent)."""
         return {}
 
+    def should_preserve_type_themes(self, type_: int) -> bool:
+        """Types whose themes survive restrict_themes (bag.cpp:446-453;
+        overridden by heist/leaper/plunder)."""
+        return False
+
+    def use_block_asset(self, type_: int) -> bool:
+        """Generated assets of this type paint as full-canvas blocks
+        (bag.cpp:400-406; wall types override per game)."""
+        return False
+
     def center_agent(self, cfg) -> bool:
         """Effective options.center_agent (games may force it per mode)."""
         return cfg.center_agent
@@ -303,10 +313,15 @@ def base_game_reset(gd: GameDef, cfg, state: EnvState, rs):
     state = gd.choose_world_dim(cfg, state)
 
     rs, bg_pct_x = R.rs_rand01(rs)
-    rs, background_index = R.rs_randn(rs, gd.num_backgrounds)
-    # use_procgen_background is impossible for supported games/options: every
-    # game overrides load_background_images, and use_generated_assets is
-    # rejected at the env layer (state save requires it off, bag.cpp:1176).
+    # Under use_generated_assets the reference paints ONE procgen background
+    # per reset from the level rand_gen (bag.cpp:62-63, 769-773); here a
+    # pregenerated pool is selected per level instead, so that mode's RNG
+    # stream intentionally diverges from the reference (which cannot
+    # serialize it anyway, bag.cpp:1176).
+    from procgen_tpu.render.pack import PROCGEN_BG_POOL
+
+    n_bgs = PROCGEN_BG_POOL if cfg.use_generated_assets else gd.num_backgrounds
+    rs, background_index = R.rs_randn(rs, n_bgs)
 
     # entities.clear(); agent spawn (bag.cpp:775-793)
     a_r = F32(0.4)

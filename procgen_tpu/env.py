@@ -69,14 +69,10 @@ class ProcgenTPUEnv:
         render: bool = True,
         render_mode: Optional[str] = None,
         parity_mode: bool = False,
+        _level_rng_seeds: Optional[list[int]] = None,
     ):
         if isinstance(distribution_mode, str):
             distribution_mode = DISTRIBUTION_MODE_NAMES[distribution_mode]
-        if use_generated_assets:
-            raise NotImplementedError(
-                "use_generated_assets is not supported (the reference cannot "
-                "serialize state with it either, bag.cpp:1176)"
-            )
         if rand_seed is None:
             rand_seed = create_random_seed()
         cfg = EnvConfig(
@@ -87,6 +83,7 @@ class ProcgenTPUEnv:
             rand_seed=rand_seed,
             distribution_mode=distribution_mode,
             paint_vel_info=paint_vel_info,
+            use_generated_assets=use_generated_assets,
             use_monochrome_assets=use_monochrome_assets,
             restrict_themes=restrict_themes,
             use_backgrounds=use_backgrounds,
@@ -151,6 +148,7 @@ class ProcgenTPUEnv:
         else:
             self._render_hires = None
 
+        self._level_rng_seeds = _level_rng_seeds
         self.state = self._initial_state(rand_seed)
         self.state = self._reset_all(self.state)
         self._obs = self._render() if render else None
@@ -164,10 +162,17 @@ class ProcgenTPUEnv:
         batched = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (self.num,) + x.shape), tmpl
         )
-        master = R.HostMT(rand_seed)
-        seeds = jnp.asarray(
-            [master.randint_full() for _ in range(self.num)], jnp.int32
-        )
+        if self._level_rng_seeds is not None:
+            # joint mode: the master RNG deals across the interleaved batch
+            # (vecgame.cpp:309-314); ProcgenJointEnv passes each game its
+            # own slots' draws
+            seeds = jnp.asarray(self._level_rng_seeds, jnp.int32)
+            assert seeds.shape == (self.num,)
+        else:
+            master = R.HostMT(rand_seed)
+            seeds = jnp.asarray(
+                [master.randint_full() for _ in range(self.num)], jnp.int32
+            )
         return batched.replace(level_seed_rng=R.mt_seed(seeds))
 
     def reset_fn(self, state: EnvState) -> EnvState:
@@ -301,9 +306,15 @@ class ProcgenJointEnv:
         self.num = num
         self.names = names
         k = len(names)
+        # ONE master RNG deals per-env level seeds across the interleaved
+        # batch (vecgame.cpp:301-314): env n runs game n % k and gets the
+        # n-th draw; sub-env j owns slots j, j+k, j+2k, ...
+        master = R.HostMT(rand_seed)
+        all_seeds = [master.randint_full() for _ in range(num)]
         self.envs = [
             ProcgenTPUEnv(
-                num=num // k, env_name=n, rand_seed=rand_seed + j, **kwargs
+                num=num // k, env_name=n, rand_seed=rand_seed,
+                _level_rng_seeds=all_seeds[j::k], **kwargs
             )
             for j, n in enumerate(names)
         ]

@@ -68,6 +68,10 @@ class CaveFlyer(GameDef):
         self.max_entities = 2 + self.max_objs + 24
         self.reset_max_draws = G + 1024
 
+    def use_block_asset(self, type_):
+        # caveflyer.cpp:81-83
+        return type_ == CAVEWALL
+
     def asset_map(self, cfg):
         # caveflyer.cpp:36-54
         return {

@@ -63,6 +63,10 @@ class ChaserGame(GameDef):
         # the next compact) + orbs + agent
         self.max_entities = 1 + (1 + max(self.extra_orb_sign, 0)) * 4 + 2 * self.total_enemies + 1
 
+    def use_block_asset(self, type_):
+        # chaser.cpp:74-76
+        return type_ == MAZE_WALL
+
     def asset_map(self, cfg):
         # chaser.cpp:54-72
         return {

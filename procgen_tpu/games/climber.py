@@ -64,6 +64,10 @@ class Climber(GameDef):
             assets.aspect_ratio("platformer/enemySwimming_1.png")
         )
 
+    def use_block_asset(self, type_):
+        # climber.cpp:128-130
+        return type_ in (WALL_MID, WALL_TOP)
+
     def asset_map(self, cfg):
         # climber.cpp:48-88
         def p(stem):

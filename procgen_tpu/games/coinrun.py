@@ -73,6 +73,10 @@ class CoinRun(GameDef):
     def __init__(self, cfg):
         self.easy = cfg.distribution_mode == DistributionMode.easy
 
+    def use_block_asset(self, type_):
+        # coinrun.cpp:183-185
+        return type_ in (WALL_MID, WALL_TOP)
+
     def asset_map(self, cfg):
         # coinrun.cpp:74-124
         def players(stem):

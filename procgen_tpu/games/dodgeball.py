@@ -104,6 +104,10 @@ class Dodgeball(GameDef):
         )
         self.reset_max_draws = 1024
 
+    def use_block_asset(self, type_):
+        # dodgeball.cpp:153-155
+        return type_ in (LAVA_WALL, DOOR, DOOR_OPEN)
+
     def asset_map(self, cfg):
         # dodgeball.cpp:50-90
         return {

@@ -78,6 +78,10 @@ class FruitBot(GameDef):
             [assets.aspect_ratio(n) for n in BAD_ASSETS], F32
         )
 
+    def use_block_asset(self, type_):
+        # fruitbot.cpp:137-139
+        return type_ in (BARRIER, LOCKED_DOOR, PRESENT)
+
     def asset_map(self, cfg):
         # fruitbot.cpp:47-79
         return {

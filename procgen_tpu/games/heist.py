@@ -63,6 +63,10 @@ class HeistGame(GameDef):
         )
         self.exit_aspect = F32(assets.aspect_ratio(EXIT_ASSET))
 
+    def use_block_asset(self, type_):
+        # heist.cpp:62-64
+        return type_ in (O.WALL_OBJ, LOCKED_DOOR)
+
     def asset_map(self, cfg):
         # heist.cpp:44-60
         return {

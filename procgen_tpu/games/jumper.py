@@ -73,6 +73,10 @@ class Jumper(GameDef):
         self.max_entities = 2 + (16 if self.easy else 96) + 12
         self.reset_max_draws = G + 1024
 
+    def use_block_asset(self, type_):
+        # jumper.cpp:107-109
+        return type_ in (CAVEWALL, CAVEWALL_TOP)
+
     def asset_map(self, cfg):
         # jumper.cpp:50-79
         return {

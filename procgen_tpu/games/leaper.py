@@ -63,6 +63,14 @@ class LeaperGame(GameDef):
         "misc_assets/frog7.png",
     ]
 
+    def use_block_asset(self, type_):
+        # leaper.cpp:87-89
+        return type_ in (WATER, ROAD)
+
+    def should_preserve_type_themes(self, type_):
+        # leaper.cpp:91-93
+        return type_ == O.PLAYER
+
     def asset_map(self, cfg):
         # leaper.cpp:45-67
         return {

@@ -56,6 +56,10 @@ class Ninja(GameDef):
         self.jump_charge_inc = 1.0 if self.easy else 0.25
         self.visibility = 10.0 if self.easy else 16.0
 
+    def use_block_asset(self, type_):
+        # ninja.cpp:135-137
+        return type_ == WALL_MID
+
     def asset_map(self, cfg):
         # ninja.cpp:45-76
         return {

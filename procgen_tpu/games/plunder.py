@@ -64,6 +64,10 @@ class Plunder(GameDef):
         )
         self.min_agent_x_of = lambda arx: 2 * LEGEND_R + arx
 
+    def should_preserve_type_themes(self, type_):
+        # plunder.cpp:83-85
+        return type_ == SHIP
+
     def asset_map(self, cfg):
         # plunder.cpp:49-64 + reserved explosion frames (bag.cpp:416-427)
         return {

@@ -1,0 +1,108 @@
+"""One-command PPO training: ``python -m procgen_tpu.learn.train coinrun``.
+
+Runs the whole loop on the local device mesh: env state sharded over the
+``env`` axis, network params replicated, gradients reduced by XLA.
+Multi-host pods call this same entry under ``jax.distributed`` (see
+parallel/sharding.init_distributed); each process owns its env shard,
+mirroring the rank-unique seeding of the reference's env.py:54-63.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("env_name", nargs="?", default="coinrun")
+    ap.add_argument("--num-envs", type=int, default=256)
+    ap.add_argument("--n-steps", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=64)
+    ap.add_argument("--distribution-mode", default="easy")
+    ap.add_argument("--rand-seed", type=int, default=0)
+    ap.add_argument("--num-levels", type=int, default=0)
+    ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument("--log-every", type=int, default=1)
+    args = ap.parse_args(argv)
+
+    from procgen_tpu.config import EnvConfig, DistributionMode
+    from procgen_tpu.engine.game import reset_env
+    from procgen_tpu.games import make_game
+    from procgen_tpu.learn.ppo import PPOConfig, make_train_fns
+    from procgen_tpu.parallel.fast import make_fast_fns
+    from procgen_tpu.parallel.sharding import (
+        make_env_mesh, env_sharding, shard_env_state,
+    )
+    from procgen_tpu.render.pack import RenderPack
+    from procgen_tpu.render.fast2 import render_frames2
+    from procgen_tpu.render.renderer import update_view_params
+    from procgen_tpu import rng as R
+    from procgen_tpu.state import init_state_template
+
+    cfg = EnvConfig(
+        env_name=args.env_name,
+        num_envs=args.num_envs,
+        distribution_mode=DistributionMode[args.distribution_mode],
+        rand_seed=args.rand_seed,
+        num_levels=args.num_levels,
+    ).resolve_exploration()
+    gd = make_game(cfg)
+    pack = RenderPack(gd, cfg)
+    fast_init, fast_step = make_fast_fns(
+        gd, cfg, pack, refill_bucket=max(64, args.num_envs // 8)
+    )
+    render_fn = lambda state: render_frames2(gd, cfg, state, pack)
+
+    ppo = PPOConfig(n_steps=args.n_steps, lr=args.lr)
+    init_ts, train_iter, _ = make_train_fns(
+        gd, cfg, pack, ppo, fast_step, render_fn
+    )
+
+    # env state construction + initial reset
+    tmpl = init_state_template(gd, cfg)
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (args.num_envs,) + x.shape), tmpl
+    )
+    master = R.HostMT(cfg.rand_seed)
+    seeds = jnp.asarray(
+        [master.randint_full() for _ in range(args.num_envs)], jnp.int32
+    )
+    state = batched.replace(level_seed_rng=R.mt_seed(seeds))
+    state = jax.jit(
+        jax.vmap(lambda s: update_view_params(gd, cfg, reset_env(gd, cfg, s)))
+    )(state)
+    fs = jax.jit(fast_init)(state)
+
+    mesh = make_env_mesh()
+    fs = shard_env_state(fs, mesh)
+
+    rng = jax.random.PRNGKey(cfg.rand_seed)
+    ts = init_ts(rng)
+
+    jit_iter = jax.jit(train_iter, donate_argnums=(1,))
+
+    total_steps = 0
+    t0 = time.time()
+    for it in range(args.iters):
+        rng, sub = jax.random.split(rng)
+        ts, fs, _, metrics = jit_iter(ts, fs, sub)
+        total_steps += args.num_envs * args.n_steps
+        if (it + 1) % args.log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            m.update(
+                iter=it + 1,
+                env_steps=total_steps,
+                steps_per_sec=round(total_steps / (time.time() - t0), 1),
+            )
+            print(json.dumps(m), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -371,7 +371,10 @@ def entity_records(gd, cfg, states, tables, z_split: bool):
     r_w = jnp.where(abs_c, 2 * view_dim * ents.rx * unit, 2 * ents.rx * unit)
     r_h = jnp.where(abs_c, 2 * view_dim * ents.ry * unit, 2 * ents.ry * unit)
 
-    adj = gd.image_rect_adjust(img_t)
+    # monochrome fills paint the UNADJUSTED base rect at full opacity with
+    # no tiling (draw_image short-circuits to draw_grid_obj, bag.cpp:884-886)
+    mono = cfg.use_monochrome_assets
+    adj = None if mono else gd.image_rect_adjust(img_t)
     if adj is not None:
         aox, aoy, asw, ash = adj
         r_x0 = r_x0 + r_w * aox
@@ -403,7 +406,7 @@ def entity_records(gd, cfg, states, tables, z_split: bool):
     bby0 = r_y0 + r_h / 2 - bbh / 2
 
     # tiling (tile_image, bag.cpp:840-869; unrotated draws only)
-    ratio = gd.tile_ratio_for(img_t, ents.rx, ents.ry)
+    ratio = None if mono else gd.tile_ratio_for(img_t, ents.rx, ents.ry)
     n_th = jnp.ones((N, E), F32)
     n_tv = jnp.ones((N, E), F32)
     if ratio is not None:
@@ -425,11 +428,17 @@ def entity_records(gd, cfg, states, tables, z_split: bool):
 
     ok = ents.alive & draw_mask & (slot >= 0)
     var = slot * A + bin_eff.astype(F32)
+    alpha = jnp.ones_like(ents.alpha) if mono else ents.alpha
+    refl = (
+        jnp.zeros_like(ents.is_reflected.astype(F32))
+        if mono
+        else ents.is_reflected.astype(F32)
+    )
 
     rec = jnp.stack(
         [
             bbx0, bby0, jnp.maximum(bbw, 1e-6), jnp.maximum(bbh, 1e-6),
-            var, ents.is_reflected.astype(F32), ents.alpha,
+            var, refl, alpha,
             ok.astype(F32), n_th, n_tv, ents.render_z.astype(F32),
         ],
         axis=-1,

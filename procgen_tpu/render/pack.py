@@ -15,6 +15,37 @@ from procgen_tpu.render import assets
 
 GRID_TYPE_LUT_SIZE = 1104  # covers all grid object ids incl. chaser's 1002
 
+# Size of the pregenerated procgen-background pool under
+# use_generated_assets (the reference repaints one 500x500 image per reset,
+# bag.cpp:769-773; a pool keeps level resets jit-pure).
+PROCGEN_BG_POOL = 16
+_BG_POOL_SALT = 0x5EED_B6
+
+
+def color_for_type(type_: int, theme: int) -> tuple[int, int, int]:
+    """Monochrome color hash (bag.cpp:455-481): k=4 color cube, primes
+    29/19 avoid type/theme collisions."""
+    k = 4
+    kcubed = k * k * k
+    chunk = 256 // k
+    assert type_ < kcubed, type_
+    new_type = (29 * (type_ + 1)) % kcubed
+    new_type = (new_type + 19 * theme) % kcubed
+    return (
+        chunk * (new_type // (k * k) + 1) - 1,
+        chunk * ((new_type // k) % k + 1) - 1,
+        chunk * (new_type % k + 1) - 1,
+    )
+
+
+def _monochrome_tile(gd, cfg, type_: int, theme: int) -> np.ndarray:
+    if cfg.restrict_themes and not gd.should_preserve_type_themes(type_):
+        theme = 0  # mask_theme_if_necessary inside color_for_type (bag.cpp:459)
+    r, g, b = color_for_type(type_, theme)
+    tile = np.zeros((8, 8, 4), np.uint8)
+    tile[..., 0], tile[..., 1], tile[..., 2], tile[..., 3] = r, g, b, 255
+    return tile
+
 
 class RenderPack:
     """Static render data for one (game, config) pair.  numpy on host; the
@@ -23,18 +54,47 @@ class RenderPack:
     def __init__(self, gd, cfg):
         amap = gd.asset_map(cfg)
         names: list[str] = []
+        types_of_slot: list[int] = []
+        themes_of_slot: list[int] = []
         slot_lut = np.full((O.MAX_ASSETS, O.MAX_IMAGE_THEMES), -1, np.int32)
         num_themes = np.zeros((O.MAX_ASSETS,), np.int32)
         for type_, theme_names in amap.items():
             assert 0 <= type_ < O.MAX_ASSETS, type_
             num_themes[type_] = len(theme_names)
             for theme, name in enumerate(theme_names):
-                # restrict_themes maps non-preserved types to theme 0
-                # (bag.cpp:450-453); handled by masking at lookup time.
+                # restrict_themes masks non-preserved types to theme 0 at
+                # asset-lookup time (mask_theme_if_necessary, bag.cpp:450-453
+                # applied in initialize_asset_if_necessary, bag.cpp:86):
+                # every theme slot packs theme 0's image.
+                if cfg.restrict_themes and not gd.should_preserve_type_themes(type_):
+                    name = theme_names[0]
                 slot_lut[type_, theme] = len(names)
                 names.append(name)
+                types_of_slot.append(type_)
+                themes_of_slot.append(theme)
 
-        imgs = [assets.decode_png(n) for n in names]
+        if cfg.use_generated_assets:
+            # AssetGen procedural sprites (bag.cpp:93-110): every type paints
+            # one 64x64 texture from fixed_asset_seed + type; themes all map
+            # to that single texture (num_themes = 1).
+            from procgen_tpu.render.assetgen import generated_sprite
+
+            fas = cfg.effective_fixed_asset_seed
+            by_type = {
+                t: generated_sprite(fas, t, gd.use_block_asset(t))
+                for t in sorted(set(types_of_slot))
+            }
+            imgs = [by_type[t] for t in types_of_slot]
+        else:
+            imgs = [assets.decode_png(n) for n in names]
+        if cfg.use_monochrome_assets:
+            # color_for_type hash fills replace every sprite draw
+            # (bag.cpp:884-918, 455-481): solid opaque tiles; geometry
+            # adjustments/rotation/alpha are bypassed in the renderers.
+            imgs = [
+                _monochrome_tile(gd, cfg, t, th)
+                for t, th in zip(types_of_slot, themes_of_slot)
+            ]
         if imgs:
             S_h = max(i.shape[0] for i in imgs)
             S_w = max(i.shape[1] for i in imgs)
@@ -52,8 +112,17 @@ class RenderPack:
         self.slot_lut = slot_lut
         self.num_themes = num_themes
 
-        bg_names = assets.BACKGROUND_GROUPS[gd.background_group]
-        bgs = [assets.decode_png(n) for n in bg_names]
+        if cfg.use_generated_assets:
+            from procgen_tpu.render.assetgen import generated_background
+
+            fas = cfg.effective_fixed_asset_seed
+            bgs = [
+                generated_background(fas + _BG_POOL_SALT + i)
+                for i in range(PROCGEN_BG_POOL)
+            ]
+        else:
+            bg_names = assets.BACKGROUND_GROUPS[gd.background_group]
+            bgs = [assets.decode_png(n) for n in bg_names]
         BH = max(b.shape[0] for b in bgs)
         BW = max(b.shape[1] for b in bgs)
         bg_atlas = np.zeros((len(bgs), BH, BW, 3), np.uint8)
@@ -112,7 +181,13 @@ class RenderPack:
         # rotation-variant atlas: each slot carries A prerendered rotation
         # bins (axis bins are exact 90-degree transposes; free bins quantize
         # the painter rotation of bag.cpp:899-906 to 2*pi/A)
-        self.rot_bins = {"none": 1, "axis": 4, "free": 16}[gd.entity_rotations]
+        # monochrome fills ignore painter rotation entirely (draw_image's
+        # monochrome branch never rotates, bag.cpp:884-886)
+        self.rot_bins = (
+            1
+            if cfg.use_monochrome_assets
+            else {"none": 1, "axis": 4, "free": 16}[gd.entity_rotations]
+        )
         self.var_mips = _make_rotation_variants(self.sprite_mips, self.rot_bins)
 
         # entity image-type -> theme-0 base slot (slots are theme-consecutive

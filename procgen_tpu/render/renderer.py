@@ -330,7 +330,10 @@ def _composite_entities_gather(gd, cfg, state, pack, out, z_filter="all", res: i
         ]
         ok = ok & (img_t >= 0) & (img_t < O.MAX_ASSETS) & (e_slot >= 0)
 
-        adj = gd.image_rect_adjust(img_t)
+        # monochrome: solid fill of the unadjusted rect, no rotation /
+        # tiling / opacity (draw_image -> draw_grid_obj, bag.cpp:884-886)
+        mono = cfg.use_monochrome_assets
+        adj = None if mono else gd.image_rect_adjust(img_t)
         if adj is not None:
             aox, aoy, asw, ash = adj
             r_x0 = r_x0 + r_w * aox
@@ -338,7 +341,7 @@ def _composite_entities_gather(gd, cfg, state, pack, out, z_filter="all", res: i
             r_w = r_w * asw
             r_h = r_h * ash
 
-        rot = ents.rotation[i]
+        rot = jnp.zeros_like(ents.rotation[i]) if mono else ents.rotation[i]
         cxp = r_x0 + r_w / 2
         cyp = r_y0 + r_h / 2
         dxp = SX - cxp
@@ -350,7 +353,7 @@ def _composite_entities_gather(gd, cfg, state, pack, out, z_filter="all", res: i
         u = (lx + r_w / 2) / r_w
         v = (ly + r_h / 2) / r_h
         inside = (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
-        ratio = gd.tile_ratio_for(img_t, ents.rx[i], ents.ry[i])
+        ratio = None if mono else gd.tile_ratio_for(img_t, ents.rx[i], ents.ry[i])
         if ratio is not None:
             n_th = jnp.maximum(
                 jnp.where(ratio > 0, (r_w / (r_h * jnp.abs(ratio) + 1e-9)).astype(I32), 1), 1
@@ -367,7 +370,7 @@ def _composite_entities_gather(gd, cfg, state, pack, out, z_filter="all", res: i
             atlas, dims, e_slot, jnp.clip(u, 0.0, 0.9999),
             jnp.clip(v, 0.0, 0.9999), ents.is_reflected[i],
         )
-        a = a * ents.alpha[i]
+        a = a if mono else a * ents.alpha[i]
         a = jnp.where(inside & ok, a, 0.0)
         return rgb * a[..., None] + out * (1 - a[..., None])
 

@@ -292,6 +292,10 @@ def state_to_host(state) -> dict:
 
 
 def get_state(gd, cfg, state) -> List[bytes]:
+    if cfg.use_generated_assets:
+        # bag.cpp:1176: the reference fasserts generated assets off for
+        # state serialization (asset RNG state is not captured)
+        raise RuntimeError("get_state requires use_generated_assets=False")
     s = state_to_host(state)
     n = s["reward"].shape[0]
     return [serialize_env(gd, cfg, s, i) for i in range(n)]
