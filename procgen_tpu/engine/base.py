@@ -63,6 +63,11 @@ class GameDef:
     uses_entity_reflect: bool = False
     uses_entity_block: bool = False
     uses_entity_push: bool = False
+    # True only when handle_grid_collision responds to non-player smart
+    # entities (ninja's throwing stars); the reference dispatches for all
+    # smart entities (bag.cpp:738-740) but every other game's handler is a
+    # player-gated or default no-op there.
+    smart_entities_grid_collide: bool = False
     uses_pair_collisions: bool = False
 
     # BasicAbstractGame ctor values
@@ -194,18 +199,21 @@ class GameDef:
     def is_blocked_ents(self, cfg, state, src_type, target_type, is_horizontal):
         return self.is_blocked(cfg, state, src_type, target_type, is_horizontal)
 
-    def is_blocked_ents_at(self, cfg, state, src_type, m, is_horizontal):
-        """is_blocked_ents for entity slot ``m`` (scalar path); games whose
-        blocking depends on more than the type (e.g. heist door themes)
-        override this."""
+    def is_blocked_ents_vals(self, cfg, state, src_type, tgt, is_horizontal):
+        """is_blocked_ents against blocker field values ``tgt`` (dict with
+        type/image_theme/y/ry arrays, broadcastable against ``src_type``);
+        games whose blocking depends on more than the type (heist door
+        themes, coinrun crates) override this.  Gather-free: callers pass
+        whole-table or slot-sliced field arrays, never indexed reads."""
         return self.is_blocked_ents(
-            cfg, state, src_type, state.ents.type[m], is_horizontal
+            cfg, state, src_type, tgt["type"], is_horizontal
         )
 
-    def note_entity_blocks(self, cfg, state, idx, blocked_vec, is_horizontal):
-        """Observe which entities blocked ``idx`` during a sub_step (the
+    def note_entity_blocks(self, cfg, state, idxs, blocked_mat, is_horizontal):
+        """Observe which entities blocked the movers during a sub_step (the
         reference lets is_blocked_ents carry side effects, e.g. coinrun's
-        is_on_crate, coinrun.cpp:187-202).  Default: no-op."""
+        is_on_crate, coinrun.cpp:187-202).  ``idxs`` (M,) mover slots,
+        ``blocked_mat`` (M, E).  Default: no-op."""
         return state
 
     def entity_draw_mask(self, cfg, state):
@@ -259,7 +267,12 @@ class GameDef:
         return out
 
     def will_reflect(self, cfg, state, src_type, target_type):
-        return jnp.asarray(False)
+        return jnp.zeros(
+            jnp.broadcast_shapes(
+                jnp.shape(src_type), jnp.shape(target_type)
+            ),
+            jnp.bool_,
+        )
 
     def handle_agent_collision(self, cfg, state: EnvState, mask) -> EnvState:
         """mask: bool (E,) -- entities currently overlapping the agent."""
@@ -421,11 +434,17 @@ def base_game_step(gd: GameDef, cfg, state: EnvState) -> EnvState:
         state = gd.handle_collision_pairs(cfg, state, pair & valid)
 
     state = ph.check_grid_collisions(gd, cfg, state, eo.AGENT)
-    if not gd.agent_only_smart:
-        # Other smart entities also receive grid collisions (bag.cpp:738-740);
-        # loop over the compact smart-slot list, reverse slot order.
+    if not gd.agent_only_smart and gd.smart_entities_grid_collide:
+        # Other smart entities also receive grid collisions (bag.cpp:738-740).
+        # Only games whose handler actually responds to non-player entities
+        # run this loop (ninja's sticking stars); for every other game the
+        # handler is a player-gated or default no-op, so the reference's
+        # dispatch is behaviorally skippable.  The handler dispatch stays
+        # sequential (handlers mutate grid/entities; reference order is
+        # reverse slot order); ``active`` threads the validity instead of a
+        # whole-state select.
         E = state.ents.capacity
-        M = gd.max_smart_entities or E
+        M = min(gd.max_smart_entities or E, E)
         slot = jnp.arange(E)
         smart_alive = (
             state.ents.alive & state.ents.smart_step & (slot != eo.AGENT)
@@ -434,11 +453,8 @@ def base_game_step(gd: GameDef, cfg, state: EnvState) -> EnvState:
         n_smart = jnp.sum(smart_alive.astype(I32))
 
         def body(k, st):
-            i = order[k]
-            ok = k < n_smart
-            new = ph.check_grid_collisions(gd, cfg, st, i)
-            return jax.tree_util.tree_map(
-                lambda a, b: jnp.where(ok, a, b), new, st
+            return ph.check_grid_collisions(
+                gd, cfg, st, order[k], active=k < n_smart
             )
 
         state = jax.lax.fori_loop(0, M, body, state)

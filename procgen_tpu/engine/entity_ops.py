@@ -46,6 +46,71 @@ def write_slot_masked(ents: EntityTable, i, mask, **updates) -> EntityTable:
     return ents.replace(**new)
 
 
+def _field_names(ents: EntityTable):
+    return list(ents.__dataclass_fields__)
+
+
+def pack_table(ents: EntityTable):
+    """All fields as one (E, F) float32 matrix, so whole-table permutations
+    cost ONE gather/scatter instead of ~31 (TPU gathers pay per row: a
+    permuted read of 31 separate (E,) fields is 31x the rows of one packed
+    read).  Exact: every integer entity field is < 2^24 (types <= 1103,
+    themes <= 9, frame counters bounded by the 6000-step max timeout), so
+    f32 round-trips losslessly; bools map to 0/1."""
+    names = _field_names(ents)
+    cols = [getattr(ents, n).astype(jnp.float32) for n in names]
+    return jnp.stack(cols, axis=-1), names
+
+
+def unpack_table(ents: EntityTable, packed, names) -> EntityTable:
+    new = {}
+    for j, n in enumerate(names):
+        arr = getattr(ents, n)
+        v = packed[..., j]
+        new[n] = v > 0.5 if arr.dtype == jnp.bool_ else v.astype(arr.dtype)
+    return ents.replace(**new)
+
+
+def slots_onehot(capacity: int, idxs):
+    """(M, E) one-hot of slot indices (gather-free slot access: TPU gathers
+    run element-at-a-time, one-hot dots ride the MXU)."""
+    return idxs[:, None] == jnp.arange(capacity)[None, :]
+
+
+def read_slots(ents: EntityTable, idxs, names):
+    """Fields of slots ``idxs`` (M,) as {name: (M,)} via one-hot dots.
+    Exact: one product per output; ints <= 2^24 and floats are exact in the
+    f32 dot because exactly one one-hot lane is nonzero."""
+    oh = slots_onehot(ents.capacity, idxs).astype(jnp.float32)
+    out = {}
+    for n in names:
+        f = getattr(ents, n)
+        v = oh @ f.astype(jnp.float32)
+        if f.dtype == jnp.bool_:
+            out[n] = v > 0.5
+        else:
+            out[n] = v.astype(f.dtype)
+    return out
+
+
+def write_slots_masked(ents: EntityTable, idxs, mask, **updates) -> EntityTable:
+    """Write (M,)-shaped ``updates`` into slots ``idxs`` where ``mask`` (M,)
+    holds, via one-hot scatter (idxs must be distinct)."""
+    oh = slots_onehot(ents.capacity, idxs) & mask[:, None]  # (M, E)
+    sel = jnp.any(oh, axis=0)  # (E,)
+    ohf = oh.astype(jnp.float32)
+    new = {}
+    for name, val in updates.items():
+        arr = getattr(ents, name)
+        scat = jnp.asarray(val).astype(jnp.float32) @ ohf  # (E,)
+        if arr.dtype == jnp.bool_:
+            scat = scat > 0.5
+        else:
+            scat = scat.astype(arr.dtype)
+        new[name] = jnp.where(sel, scat, arr)
+    return ents.replace(**new)
+
+
 def append_entity(ents: EntityTable, fields: dict, active=True):
     """push_back: append at slot ``count``; returns (ents, idx).
 
@@ -82,16 +147,21 @@ def append_entities_masked(ents: EntityTable, fields: dict, mask, descending=Tru
     k = jnp.arange(E)
     valid = (k < n) & (cnt + k < E)
     dest = jnp.where(valid, cnt + k, E)  # E = out of range -> dropped
-    new = {}
-    for name in ents.__dataclass_fields__:
-        arr = getattr(ents, name)
-        if name == "alive":
-            new[name] = arr.at[dest].set(True)
-            continue
-        # every field must be supplied (stale dead-slot values otherwise)
-        src_vals = jnp.asarray(fields[name], arr.dtype)[order]
-        new[name] = arr.at[dest].set(src_vals)
-    return ents.replace(**new)
+    # one packed gather + one packed scatter (see pack_table)
+    packed, names = pack_table(ents)
+    src = jnp.stack(
+        [
+            (
+                jnp.ones((E,), jnp.float32)
+                if name == "alive"
+                else jnp.asarray(fields[name]).astype(jnp.float32)
+            )
+            for name in names
+        ],
+        axis=-1,
+    )[order]
+    packed = packed.at[dest].set(src)
+    return unpack_table(ents, packed, names)
 
 
 def entity_vs_all(ents: EntityTable, x, y, rx, ry, margin=0.0):
@@ -239,12 +309,9 @@ def compact(ents: EntityTable, main_width, main_height) -> EntityTable:
     E = ents.capacity
     order = jnp.where(dead, E + jnp.arange(E), jnp.arange(E))
     perm = jnp.argsort(order)
-
-    def gather(arr):
-        out = arr[perm]
-        return out
-
-    new = jax.tree_util.tree_map(gather, ents)
+    # one packed gather for all ~31 fields (see pack_table)
+    packed, names = pack_table(ents)
+    new = unpack_table(ents, packed[perm], names)
     n_alive = jnp.sum((~dead).astype(I32))
     return new.replace(alive=jnp.arange(E) < n_alive)
 

@@ -31,13 +31,24 @@ SUB_STEP_MARGIN = jnp.float32(0.98)  # bag.cpp:276
 
 
 def get_obj(state: EnvState, x, y):
-    """bag.cpp:180-185: out_of_bounds_object outside [0,w)x[0,h)."""
+    """bag.cpp:180-185: out_of_bounds_object outside [0,w)x[0,h).
+
+    Implemented as a one-hot dot (not ``grid[y, x]``): under vmap the
+    indexed read lowers to a TPU gather that executes row-at-a-time
+    (~0.2us/row on v5e -- the profiling that shaped render/fast2).  The
+    einsum is exact (grid values <= 1103 < 2^24, one product per output)
+    and rides the MXU.  Accepts scalar or any-shaped ``x``/``y``."""
     x = jnp.asarray(x, I32)
     y = jnp.asarray(y, I32)
+    H, W = state.grid.shape
+    ohy = (y[..., None] == jnp.arange(H)).astype(F32)
+    ohx = (x[..., None] == jnp.arange(W)).astype(F32)
+    val = jnp.einsum(
+        "...h,hw,...w->...", ohy, state.grid.astype(F32), ohx,
+        preferred_element_type=jnp.float32,
+    ).astype(I32)
     inside = (x >= 0) & (x < state.main_width) & (y >= 0) & (y < state.main_height)
-    xc = jnp.clip(x, 0, state.grid.shape[1] - 1)
-    yc = jnp.clip(y, 0, state.grid.shape[0] - 1)
-    return jnp.where(inside, state.grid[yc, xc], state.out_of_bounds_object)
+    return jnp.where(inside, val, state.out_of_bounds_object)
 
 
 def get_obj_from_floats(state: EnvState, fx, fy):
@@ -60,34 +71,48 @@ def set_obj(state: EnvState, x, y, obj) -> EnvState:
 # ---------------------------------------------------------------------------
 
 
-def sub_step(gd, cfg, state: EnvState, idx, _vx, _vy, active):
-    """One axis-separated sub-step of entity ``idx`` (bag.cpp:270-372).
+def sub_step(gd, cfg, state: EnvState, idxs, _vx, _vy, active):
+    """One axis-separated sub-step (bag.cpp:270-372) for entity slots
+    ``idxs`` (M,), all at once.  Returns (state, blocked (M,)).
 
-    Returns (state, blocked).  ``active`` gates all writes (per-env masking
-    for envs/iterations that broke out of the substep loop).
+    Exactness vs the reference's sequential reverse-order sweep
+    (bag.cpp:1086-1097): no ported game lets one smart (sub-stepping) entity
+    block, reflect off, or push another smart entity -- every blocker
+    (crates, locked doors, barriers, lava walls) is a non-smart entity or a
+    grid cell, and non-smart positions are fixed during the smart phase --
+    so the M movers are independent and stepping them simultaneously is
+    bit-equivalent.  Audited per game in step_entities' docstring.
 
-    Entity *pushing* (push_obj, bag.cpp:240-268) is implemented below in two
-    forms gated on gd.uses_entity_push: a vectorized all-blockers pass and a
-    sequential reverse sweep when combined with reflection; push recursion
-    beyond depth 1 (a pushed blocker pushing a third entity) is elided.
+    Entity *pushing* (push_obj, bag.cpp:240-268) keeps its two forms gated
+    on gd.uses_entity_push: a vectorized all-blockers pass and a sequential
+    blocker sweep (as a lax.scan over slot-sliced fields, gather-free) when
+    combined with reflection; push recursion beyond depth 1 is elided.
     """
     ents = state.ents
-    obj = {k: getattr(ents, k)[idx] for k in ("x", "y", "vx", "vy", "rx", "ry", "type", "will_erase")}
+    E = ents.capacity
+    M = idxs.shape[0]
+    obj = eo.read_slots(
+        ents, idxs, ("x", "y", "vx", "vy", "rx", "ry", "type", "will_erase")
+    )
     active = jnp.logical_and(active, ~obj["will_erase"])
 
     nx = obj["x"] + _vx
     ny = obj["y"] + _vy
-    is_horizontal = _vx != 0
+    is_horizontal = _vx != 0  # (M,)
 
-    block = jnp.asarray(False)
-    reflect = jnp.asarray(False)
-    for i in (0, 1):
-        for j in (0, 1):
-            px = nx + obj["rx"] * SUB_STEP_MARGIN * (2 * i - 1)
-            py = ny + obj["ry"] * SUB_STEP_MARGIN * (2 * j - 1)
-            t2 = get_obj_from_floats(state, px, py)
-            block = block | gd.is_blocked(cfg, state, obj["type"], t2, is_horizontal)
-            reflect = reflect | gd.will_reflect(cfg, state, obj["type"], t2)
+    # 4 corner probes at +-0.98*r (bag.cpp:276) in one one-hot grid dot
+    di = jnp.asarray([-1.0, -1.0, 1.0, 1.0], F32)[:, None]
+    dj = jnp.asarray([-1.0, 1.0, -1.0, 1.0], F32)[:, None]
+    px = nx[None, :] + obj["rx"][None, :] * SUB_STEP_MARGIN * di  # (4, M)
+    py = ny[None, :] + obj["ry"][None, :] * SUB_STEP_MARGIN * dj
+    t2 = get_obj_from_floats(state, px, py)  # (4, M)
+    block = jnp.any(
+        gd.is_blocked(cfg, state, obj["type"][None, :], t2, is_horizontal[None, :]),
+        axis=0,
+    )
+    reflect = jnp.any(
+        gd.will_reflect(cfg, state, obj["type"][None, :], t2), axis=0
+    )
 
     # Reflection off grid (bag.cpp:292-315)
     delta_x = jnp.where(
@@ -133,7 +158,7 @@ def sub_step(gd, cfg, state: EnvState, idx, _vx, _vy, active):
     if gd.block_zeroes_velocity_types:
         # ninja's is_blocked zeroes throwing-star velocity as a side effect
         # when a wall probe hits (ninja.cpp:139-152): both components stop.
-        zmask = jnp.asarray(False)
+        zmask = jnp.zeros((M,), jnp.bool_)
         for t_ in gd.block_zeroes_velocity_types:
             zmask = zmask | (obj["type"] == t_)
         stopped = block & zmask & active
@@ -141,94 +166,114 @@ def sub_step(gd, cfg, state: EnvState, idx, _vx, _vy, active):
         nvy = jnp.where(stopped, 0.0, nvy)
 
     # --- entity interactions (bag.cpp:335-369) ---
-    block2 = jnp.asarray(False)
+    block2 = jnp.zeros((M,), jnp.bool_)
+    marange = jnp.arange(E)
+    not_self = marange[None, :] != idxs[:, None]  # (M, E)
+    tgt_all = {
+        "type": ents.type[None, :],
+        "image_theme": ents.image_theme[None, :],
+        "y": ents.y[None, :],
+        "ry": ents.ry[None, :],
+    }
     if gd.uses_entity_push and not gd.uses_entity_reflect:
         # Vectorized push/block: all blockers tested at once; the clamp is
         # taken from the lowest-index blocker, which is what the reference's
         # descending sweep leaves last (simultaneous multi-blocker overlaps
         # beyond that -- stacked crates sharing a top edge -- clamp to the
         # same boundary, so the outcome matches).
-        E = ents.capacity
-        marange = jnp.arange(E)
-        valid = ents.alive & (marange != idx) & ~ents.will_erase
+        valid = (ents.alive & ~ents.will_erase)[None, :] & not_self
         coll = (
-            (jnp.abs(nx - ents.x) < obj["rx"] + ents.rx + POS_EPS)
-            & (jnp.abs(ny - ents.y) < obj["ry"] + ents.ry + POS_EPS)
+            (jnp.abs(nx[:, None] - ents.x[None, :])
+             < obj["rx"][:, None] + ents.rx[None, :] + POS_EPS)
+            & (jnp.abs(ny[:, None] - ents.y[None, :])
+               < obj["ry"][:, None] + ents.ry[None, :] + POS_EPS)
         )
         hit = valid & coll
-        blocked_vec = hit & gd.is_blocked_ents_at(
-            cfg, state, obj["type"], marange, is_horizontal
+        blocked_mat = hit & gd.is_blocked_ents_vals(
+            cfg, state, obj["type"][:, None], tgt_all, is_horizontal[:, None]
+        )  # (M, E)
+        block2 = jnp.any(blocked_mat, axis=1)
+        m = jnp.argmin(
+            jnp.where(blocked_mat, marange[None, :], E), axis=1
         )
-        block2 = jnp.any(blocked_vec)
-        m = jnp.argmin(jnp.where(blocked_vec, marange, E))
         mc = jnp.clip(m, 0, E - 1)
-        rsx = ents.rx[mc] + obj["rx"]
-        rsy = ents.ry[mc] + obj["ry"]
-        push_dx = ents.x[mc] + jnp.sign(nx - ents.x[mc]) * rsx - nx
-        push_dy = ents.y[mc] + jnp.sign(ny - ents.y[mc]) * rsy - ny
-        px = nx + jnp.where(is_horizontal, push_dx, 0.0)
-        py = ny + jnp.where(is_horizontal, 0.0, push_dy)
-        gblock = jnp.asarray(False)
-        for ii in (0, 1):
-            for jj in (0, 1):
-                cpx = px + obj["rx"] * SUB_STEP_MARGIN * (2 * ii - 1)
-                cpy = py + obj["ry"] * SUB_STEP_MARGIN * (2 * jj - 1)
-                t3 = get_obj_from_floats(state, cpx, cpy)
-                gblock = gblock | gd.is_blocked(
-                    cfg, state, obj["type"], t3, is_horizontal
-                )
+        blk = eo.read_slots(ents, mc, ("x", "y", "rx", "ry"))
+        rsx = blk["rx"] + obj["rx"]
+        rsy = blk["ry"] + obj["ry"]
+        push_dx = blk["x"] + jnp.sign(nx - blk["x"]) * rsx - nx
+        push_dy = blk["y"] + jnp.sign(ny - blk["y"]) * rsy - ny
+        pxp = nx + jnp.where(is_horizontal, push_dx, 0.0)
+        pyp = ny + jnp.where(is_horizontal, 0.0, push_dy)
+        cpx = pxp[None, :] + obj["rx"][None, :] * SUB_STEP_MARGIN * di
+        cpy = pyp[None, :] + obj["ry"][None, :] * SUB_STEP_MARGIN * dj
+        t3 = get_obj_from_floats(state, cpx, cpy)
+        gblock = jnp.any(
+            gd.is_blocked(
+                cfg, state, obj["type"][None, :], t3, is_horizontal[None, :]
+            ),
+            axis=0,
+        )
         pcl_x = jnp.where(
             push_dx > 0,
-            jnp.floor(px + obj["rx"]) - obj["rx"],
-            jnp.ceil(px - obj["rx"]) + obj["rx"],
+            jnp.floor(pxp + obj["rx"]) - obj["rx"],
+            jnp.ceil(pxp - obj["rx"]) + obj["rx"],
         )
         pcl_y = jnp.where(
             push_dy > 0,
-            jnp.floor(py + obj["ry"]) - obj["ry"],
-            jnp.ceil(py - obj["ry"]) + obj["ry"],
+            jnp.floor(pyp + obj["ry"]) - obj["ry"],
+            jnp.ceil(pyp - obj["ry"]) + obj["ry"],
         )
         pcl_x = jnp.where(state.grid_step, nx, pcl_x)
         pcl_y = jnp.where(state.grid_step, ny, pcl_y)
-        px = jnp.where(gblock & is_horizontal, pcl_x, px)
-        py = jnp.where(gblock & ~is_horizontal, pcl_y, py)
+        pxp = jnp.where(gblock & is_horizontal, pcl_x, pxp)
+        pyp = jnp.where(gblock & ~is_horizontal, pcl_y, pyp)
         appb = block2 & active
-        nx = jnp.where(appb, px, nx)
-        ny = jnp.where(appb, py, ny)
+        nx = jnp.where(appb, pxp, nx)
+        ny = jnp.where(appb, pyp, ny)
         nvx = jnp.where(appb & is_horizontal, 0.0, nvx)
         nvy = jnp.where(appb & ~is_horizontal, 0.0, nvy)
         state = gd.note_entity_blocks(
-            cfg, state, idx, blocked_vec & active, is_horizontal
+            cfg, state, idxs, blocked_mat & active[:, None], is_horizontal
         )
     elif gd.uses_entity_reflect or gd.uses_entity_push:
         # Sequential reverse sweep: each reflection/push moves the object
         # before the next (lower-index) entity is tested (bag.cpp:337-369).
-        E = ents.capacity
+        # lax.scan over slot-sliced blocker fields: leading-axis slicing is
+        # gather-free; the carry is only the (M,) mover coordinates.
+        rev = jnp.arange(E - 1, -1, -1)
+        xs = {
+            "m": rev,
+            "x": ents.x[rev], "y": ents.y[rev],
+            "rx": ents.rx[rev], "ry": ents.ry[rev],
+            "type": ents.type[rev],
+            "image_theme": ents.image_theme[rev],
+            "ok": (ents.alive & ~ents.will_erase)[rev],
+        }
 
-        def body(k, carry):
-            nx, ny, nvx, nvy, block2, blocked_vec = carry
-            m = E - 1 - k
-            valid = (
-                ents.alive[m]
-                & (m != idx)
-                & ~ents.will_erase[m]
-            )
+        def body(carry, b):
+            nx, ny, nvx, nvy, block2 = carry
+            valid = b["ok"] & (b["m"] != idxs)  # (M,)
             coll = (
-                (jnp.abs(nx - ents.x[m]) < obj["rx"] + ents.rx[m] + POS_EPS)
-                & (jnp.abs(ny - ents.y[m]) < obj["ry"] + ents.ry[m] + POS_EPS)
+                (jnp.abs(nx - b["x"]) < obj["rx"] + b["rx"] + POS_EPS)
+                & (jnp.abs(ny - b["y"]) < obj["ry"] + b["ry"] + POS_EPS)
             )
             hit = valid & coll
-            blocked_m = hit & gd.is_blocked_ents_at(
-                cfg, state, obj["type"], m, is_horizontal
+            tgt = {
+                "type": b["type"], "image_theme": b["image_theme"],
+                "y": b["y"], "ry": b["ry"],
+            }
+            blocked_m = hit & gd.is_blocked_ents_vals(
+                cfg, state, obj["type"], tgt, is_horizontal
             )
             refl_m = (
                 hit
                 & ~blocked_m
-                & gd.will_reflect(cfg, state, obj["type"], ents.type[m])
+                & gd.will_reflect(cfg, state, obj["type"], b["type"])
             )
-            delx = ents.x[m] - nx
-            dely = ents.y[m] - ny
-            rsx = ents.rx[m] + obj["rx"]
-            rsy = ents.ry[m] + obj["ry"]
+            delx = b["x"] - nx
+            dely = b["y"] - ny
+            rsx = b["rx"] + obj["rx"]
+            rsy = b["ry"] + obj["ry"]
             bounce_dx = jnp.where(_vx > 0, -2 * (rsx - delx), 2 * (rsx + delx))
             bounce_dy = jnp.where(_vy > 0, -2 * (rsy - dely), 2 * (rsy + dely))
             app = refl_m & active
@@ -238,83 +283,86 @@ def sub_step(gd, cfg, state: EnvState, idx, _vx, _vy, active):
             nvy = jnp.where(app & ~is_horizontal, -nvy, nvy)
 
             if gd.uses_entity_push:
-                # push_obj(m, obj) (bag.cpp:240-268): m clamps obj to its
-                # boundary along the move axis via a recursive sub_step and
-                # zeroes obj's velocity component.  The recursion's grid
-                # corner-probe + clamp is reproduced; deeper entity re-checks
-                # (depth >= 2, only reachable through chained overlaps the
-                # ported games' geometry cannot produce) are elided.
-                push_dx = (
-                    ents.x[m] + jnp.sign(nx - ents.x[m]) * rsx - nx
+                # push_obj (bag.cpp:240-268): clamp along the move axis and
+                # zero the velocity component; depth >= 2 recursion elided.
+                push_dx = b["x"] + jnp.sign(nx - b["x"]) * rsx - nx
+                push_dy = b["y"] + jnp.sign(ny - b["y"]) * rsy - ny
+                pxp = nx + jnp.where(is_horizontal, push_dx, 0.0)
+                pyp = ny + jnp.where(is_horizontal, 0.0, push_dy)
+                cpx = pxp[None, :] + obj["rx"][None, :] * SUB_STEP_MARGIN * di
+                cpy = pyp[None, :] + obj["ry"][None, :] * SUB_STEP_MARGIN * dj
+                t3 = get_obj_from_floats(state, cpx, cpy)
+                gblock = jnp.any(
+                    gd.is_blocked(
+                        cfg, state, obj["type"][None, :], t3,
+                        is_horizontal[None, :],
+                    ),
+                    axis=0,
                 )
-                push_dy = (
-                    ents.y[m] + jnp.sign(ny - ents.y[m]) * rsy - ny
-                )
-                px = nx + jnp.where(is_horizontal, push_dx, 0.0)
-                py = ny + jnp.where(is_horizontal, 0.0, push_dy)
-                gblock = jnp.asarray(False)
-                for ii in (0, 1):
-                    for jj in (0, 1):
-                        cpx = px + obj["rx"] * SUB_STEP_MARGIN * (2 * ii - 1)
-                        cpy = py + obj["ry"] * SUB_STEP_MARGIN * (2 * jj - 1)
-                        t3 = get_obj_from_floats(state, cpx, cpy)
-                        gblock = gblock | gd.is_blocked(
-                            cfg, state, obj["type"], t3, is_horizontal
-                        )
                 pcl_x = jnp.where(
                     push_dx > 0,
-                    jnp.floor(px + obj["rx"]) - obj["rx"],
-                    jnp.ceil(px - obj["rx"]) + obj["rx"],
+                    jnp.floor(pxp + obj["rx"]) - obj["rx"],
+                    jnp.ceil(pxp - obj["rx"]) + obj["rx"],
                 )
                 pcl_y = jnp.where(
                     push_dy > 0,
-                    jnp.floor(py + obj["ry"]) - obj["ry"],
-                    jnp.ceil(py - obj["ry"]) + obj["ry"],
+                    jnp.floor(pyp + obj["ry"]) - obj["ry"],
+                    jnp.ceil(pyp - obj["ry"]) + obj["ry"],
                 )
                 pcl_x = jnp.where(state.grid_step, nx, pcl_x)
                 pcl_y = jnp.where(state.grid_step, ny, pcl_y)
-                px = jnp.where(gblock & is_horizontal, pcl_x, px)
-                py = jnp.where(gblock & ~is_horizontal, pcl_y, py)
+                pxp = jnp.where(gblock & is_horizontal, pcl_x, pxp)
+                pyp = jnp.where(gblock & ~is_horizontal, pcl_y, pyp)
                 appb = blocked_m & active
-                nx = jnp.where(appb, px, nx)
-                ny = jnp.where(appb, py, ny)
+                nx = jnp.where(appb, pxp, nx)
+                ny = jnp.where(appb, pyp, ny)
                 nvx = jnp.where(appb & is_horizontal, 0.0, nvx)
                 nvy = jnp.where(appb & ~is_horizontal, 0.0, nvy)
 
             block2 = block2 | blocked_m
-            blocked_vec = blocked_vec.at[m].set(blocked_m & active)
-            return nx, ny, nvx, nvy, block2, blocked_vec
+            return (nx, ny, nvx, nvy, block2), blocked_m
 
-        nx, ny, nvx, nvy, block2, blocked_vec = jax.lax.fori_loop(
-            0, E, body,
-            (nx, ny, nvx, nvy, block2, jnp.zeros((E,), jnp.bool_)),
+        (nx, ny, nvx, nvy, block2), blocked_rev = jax.lax.scan(
+            body, (nx, ny, nvx, nvy, block2), xs
         )
-        # games that need the identity of blocking entities (coinrun's
-        # is_on_crate side effect, coinrun.cpp:187-202) observe it here
-        state = gd.note_entity_blocks(cfg, state, idx, blocked_vec, is_horizontal)
+        blocked_mat = blocked_rev[::-1].T & active[:, None]  # (M, E)
+        state = gd.note_entity_blocks(cfg, state, idxs, blocked_mat, is_horizontal)
     else:
         # No game callback can block/reflect on entities: default
         # is_blocked_ents == is_blocked(type), which only triggers for
         # WALL_OBJ-typed entities -- declared per game via uses_entity_block.
         if gd.uses_entity_block:
-            coll = eo.entity_vs_all(ents, nx, ny, obj["rx"], obj["ry"], POS_EPS)
-            valid = ents.alive & ~ents.will_erase
-            valid = valid & (jnp.arange(ents.capacity) != idx)
-            blocked_m = valid & coll & gd.is_blocked_ents(
-                cfg, state, obj["type"], ents.type, is_horizontal
+            coll = (
+                (jnp.abs(nx[:, None] - ents.x[None, :])
+                 < obj["rx"][:, None] + ents.rx[None, :] + POS_EPS)
+                & (jnp.abs(ny[:, None] - ents.y[None, :])
+                   < obj["ry"][:, None] + ents.ry[None, :] + POS_EPS)
             )
-            block2 = jnp.any(blocked_m)
+            valid = (ents.alive & ~ents.will_erase)[None, :] & not_self
+            blocked_mat = valid & coll & gd.is_blocked_ents(
+                cfg, state, obj["type"][:, None], ents.type[None, :],
+                is_horizontal[:, None],
+            )
+            block2 = jnp.any(blocked_mat, axis=1)
 
-    ents = eo.write_slot_masked(ents, idx, active, x=nx, y=ny, vx=nvx, vy=nvy)
+    ents = eo.write_slots_masked(
+        state.ents, idxs, active, x=nx, y=ny, vx=nvx, vy=nvy
+    )
     return state.replace(ents=ents), jnp.logical_and(active, block | block2)
 
 
-def basic_step_object(gd, cfg, state: EnvState, idx, active=True) -> EnvState:
-    """bag.cpp:593-656 for entity ``idx`` (masked by ``active``)."""
+def basic_step_object(gd, cfg, state: EnvState, idxs, active=None) -> EnvState:
+    """bag.cpp:593-656 for entity slots ``idxs`` (M,), stepped together
+    (see sub_step's exactness note; per-entity substep counts and axis
+    ordering are preserved per slot)."""
+    idxs = jnp.asarray(idxs, I32)
+    M = idxs.shape[0]
+    if active is None:
+        active = jnp.ones((M,), jnp.bool_)
     ents = state.ents
-    vx0 = ents.vx[idx]
-    vy0 = ents.vy[idx]
-    active = jnp.logical_and(jnp.asarray(active), ~ents.will_erase[idx])
+    obj0 = eo.read_slots(ents, idxs, ("vx", "vy", "type", "will_erase"))
+    vx0, vy0 = obj0["vx"], obj0["vy"]
+    active = jnp.logical_and(active, ~obj0["will_erase"])
 
     speed = jnp.sqrt(vx0 * vx0 + vy0 * vy0)
     nss_f = (4 * speed).astype(I32)
@@ -325,22 +373,23 @@ def basic_step_object(gd, cfg, state: EnvState, idx, active=True) -> EnvState:
 
     cmp = jnp.abs(vx0) - jnp.abs(vy0)
     step_x_first = jnp.where(cmp == 0, state.step_rand_int % 2 == 0, cmp > 0)
-    is_player = ents.type[idx] == O.PLAYER
+    is_player = obj0["type"] == O.PLAYER
     step_x_first = jnp.where(is_player & (state.action_vx != 0), True, step_x_first)
     step_x_first = jnp.where(is_player & (state.action_vy != 0), False, step_x_first)
 
     def body(s, carry):
         state, vx_pct, vy_pct, broke = carry
-        act = jnp.logical_and(active, jnp.logical_and(s < nss, ~broke))
-        vx = state.ents.vx[idx] * pct
-        vy = state.ents.vy[idx] * pct
+        act = active & (s < nss) & ~broke
+        cur = eo.read_slots(state.ents, idxs, ("vx", "vy"))
+        vx = cur["vx"] * pct
+        vy = cur["vy"] * pct
         # First pass moves along x if step_x_first else y; second the other.
         a1x = jnp.where(step_x_first, vx, 0.0)
         a1y = jnp.where(step_x_first, 0.0, vy)
         a2x = jnp.where(step_x_first, 0.0, vx)
         a2y = jnp.where(step_x_first, vy, 0.0)
-        state, b1 = sub_step(gd, cfg, state, idx, a1x, a1y, act)
-        state, b2 = sub_step(gd, cfg, state, idx, a2x, a2y, act)
+        state, b1 = sub_step(gd, cfg, state, idxs, a1x, a1y, act)
+        state, b2 = sub_step(gd, cfg, state, idxs, a2x, a2y, act)
         block_x = jnp.where(step_x_first, b1, b2)
         block_y = jnp.where(step_x_first, b2, b1)
         vx_pct = vx_pct + jnp.where(act & ~block_x, 1.0, 0.0)
@@ -348,13 +397,16 @@ def basic_step_object(gd, cfg, state: EnvState, idx, active=True) -> EnvState:
         broke = broke | (block_x & block_y)
         return state, vx_pct, vy_pct, broke
 
+    zero = jnp.zeros((M,), F32)
     state, vx_pct, vy_pct, _ = jax.lax.fori_loop(
-        0, gd.max_substeps, body, (state, F32(0.0), F32(0.0), jnp.asarray(False))
+        0, gd.max_substeps, body,
+        (state, zero, zero, jnp.zeros((M,), jnp.bool_)),
     )
     nss_f32 = nss.astype(F32)
-    new_vx = state.ents.vx[idx] * (vx_pct / nss_f32)
-    new_vy = state.ents.vy[idx] * (vy_pct / nss_f32)
-    ents = eo.write_slot_masked(state.ents, idx, active, vx=new_vx, vy=new_vy)
+    cur = eo.read_slots(state.ents, idxs, ("vx", "vy"))
+    new_vx = cur["vx"] * (vx_pct / nss_f32)
+    new_vy = cur["vy"] * (vy_pct / nss_f32)
+    ents = eo.write_slots_masked(state.ents, idxs, active, vx=new_vx, vy=new_vy)
     return state.replace(ents=ents)
 
 
@@ -381,7 +433,19 @@ def entity_euler_step_all(ents, mask):
 
 
 def step_entities(gd, cfg, state: EnvState) -> EnvState:
-    """bag.cpp:1086-1098 over the whole table."""
+    """bag.cpp:1086-1098 over the whole table.
+
+    Non-smart entities Euler-step as one vector op (their updates commute
+    and they never move as blockers mid-phase).  All smart entities then
+    sub-step TOGETHER via the vectorized basic_step_object -- exact because
+    no ported game has smart-vs-smart blocking/reflection/pushing:
+      coinrun   agent/enemies block on crates (non-smart) + grid
+      heist     agent blocks on doors/walls (non-smart) + grid
+      dodgeball enemies reflect off lava-wall entities (non-smart)
+      chaser/climber/ninja/caveflyer: grid blocking only
+      all others: no entity interactions in the move phase
+    The reference's reverse slot order therefore has no observable effect.
+    """
     ents = state.ents
     if gd.agent_only_smart:
         # Slots E-1..1 are non-smart: their Euler updates commute, one vector
@@ -389,45 +453,37 @@ def step_entities(gd, cfg, state: EnvState) -> EnvState:
         # then takes the sub-step path against the updated positions.
         others = ents.alive & (jnp.arange(ents.capacity) != eo.AGENT)
         state = state.replace(ents=entity_euler_step_all(ents, others))
-        state = basic_step_object(gd, cfg, state, eo.AGENT)
+        state = basic_step_object(gd, cfg, state, jnp.asarray([eo.AGENT], I32))
         agent_mask = jnp.zeros((ents.capacity,), jnp.bool_).at[eo.AGENT].set(True)
         state = state.replace(
             ents=entity_euler_step_all(state.ents, agent_mask & state.ents.alive)
         )
         return state
 
-    # General path: non-smart Euler updates commute and never act as moving
-    # blockers for the ported games (crates/orbs/lava walls are static,
-    # balls/trails neither block nor reflect anything), so they run as one
-    # vector op; only the <= max_smart_entities smart slots take the
-    # sequential sub-step path, in the reference's reverse slot order.
     E = ents.capacity
-    M = gd.max_smart_entities or E
+    M = min(gd.max_smart_entities or E, E)
     nonsmart = ents.alive & ~ents.smart_step
     state = state.replace(ents=entity_euler_step_all(ents, nonsmart))
 
     slot = jnp.arange(E)
     smart_alive = state.ents.alive & state.ents.smart_step
     key = jnp.where(smart_alive, E - 1 - slot, 2 * E)  # descending slots first
-    order = jnp.argsort(key)
+    order = jnp.argsort(key)[:M].astype(I32)
     n_smart = jnp.sum(smart_alive.astype(jnp.int32))
+    act = jnp.arange(M) < n_smart
 
-    def body(k, state):
-        i = order[k]
-        ok = (k < n_smart)
-        state = basic_step_object(gd, cfg, state, i, active=ok)
-        one = jnp.zeros((E,), jnp.bool_).at[i].set(ok)
-        state = state.replace(
-            ents=entity_euler_step_all(state.ents, one & state.ents.alive)
-        )
-        return state
-
-    return jax.lax.fori_loop(0, M, body, state)
+    state = basic_step_object(gd, cfg, state, order, active=act)
+    state = state.replace(
+        ents=entity_euler_step_all(state.ents, smart_alive)
+    )
+    return state
 
 
-def check_grid_collisions(gd, cfg, state: EnvState, idx) -> EnvState:
+def check_grid_collisions(gd, cfg, state: EnvState, idx, active=True) -> EnvState:
     """bag.cpp:145-165 for smart entity ``idx``: dispatch game handler over
-    the <=4 overlapped cells in reference order (x asc outer, y asc inner)."""
+    the <=4 overlapped cells in reference order (x asc outer, y asc inner).
+    ``active`` gates the dispatch (threaded into the handler's valid mask so
+    callers never need a whole-state select)."""
     ents = state.ents
     ax, ay = ents.x[idx], ents.y[idx]
     arx, ary = ents.rx[idx], ents.ry[idx]
@@ -444,7 +500,7 @@ def check_grid_collisions(gd, cfg, state: EnvState, idx) -> EnvState:
         # get_obj_from_floats on int coords: negative -> OOB object.
         neg = (cx < 0) | (cy < 0)
         t = jnp.where(neg, state.out_of_bounds_object, get_obj(state, cx, cy))
-        valid = t != O.SPACE
+        valid = (t != O.SPACE) & jnp.asarray(active)
         if extra_valid is not None:
             valid = valid & extra_valid
         state = gd.handle_grid_collision(cfg, state, idx, t, cx, cy, valid)

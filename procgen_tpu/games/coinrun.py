@@ -154,26 +154,31 @@ class CoinRun(GameDef):
             _is_wall(target_type) | (target_type == ENEMY_BARRIER)
         )
 
-    def is_blocked_ents_at(self, cfg, state, src_type, m, is_horizontal):
+    def is_blocked_ents_vals(self, cfg, state, src_type, tgt, is_horizontal):
         # crates standable from above only (coinrun.cpp:187-202); the
         # reference consults the *agent's* state regardless of src
         ents = state.ents
-        is_crate = ents.type[m] == CRATE
+        is_crate = tgt["type"] == CRATE
         crate_block = (
             (ents.vy[eo.AGENT] < 0)
             & (state.action_vy >= 0)
             & (
                 state.extra["last_agent_y"]
-                >= ents.y[m] + ents.ry[m] + ents.ry[eo.AGENT]
+                >= tgt["y"] + tgt["ry"] + ents.ry[eo.AGENT]
             )
         )
-        base = GameDef.is_blocked_ents_at(self, cfg, state, src_type, m, is_horizontal)
-        return jnp.where(
-            is_crate, ~is_horizontal & crate_block, base
+        base = GameDef.is_blocked_ents_vals(
+            self, cfg, state, src_type, tgt, is_horizontal
         )
+        return jnp.where(is_crate, ~is_horizontal & crate_block, base)
 
-    def note_entity_blocks(self, cfg, state, idx, blocked_vec, is_horizontal):
-        on_crate = jnp.any(blocked_vec & (state.ents.type == CRATE))
+    def note_entity_blocks(self, cfg, state, idxs, blocked_mat, is_horizontal):
+        # is_on_crate records the AGENT's own crate support
+        # (coinrun.cpp:187-202); mask to the agent's mover row
+        agent_row = (idxs == eo.AGENT)[:, None]
+        on_crate = jnp.any(
+            blocked_mat & agent_row & (state.ents.type == CRATE)[None, :]
+        )
         extra = dict(state.extra)
         extra["is_on_crate"] = extra["is_on_crate"] | on_crate
         return state.replace(extra=extra)

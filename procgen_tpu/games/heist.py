@@ -102,13 +102,15 @@ class HeistGame(GameDef):
             main_width=wd, main_height=wd, maxspeed=F32(0.75)
         )
 
-    def is_blocked_ents_at(self, cfg, state, src_type, m, is_horizontal):
+    def is_blocked_ents_vals(self, cfg, state, src_type, tgt, is_horizontal):
         # heist.cpp:66-71: locked doors block until their key is held
-        t = state.ents.type[m]
-        theme = jnp.clip(state.ents.image_theme[m], 0, 2)
-        door_blocks = jnp.logical_and(
-            t == LOCKED_DOOR, ~state.extra["has_keys"][theme]
-        )
+        t = tgt["type"]
+        theme = jnp.clip(tgt["image_theme"], 0, 2)
+        # one-hot key lookup (gather-free; 3 key colors)
+        has = jnp.zeros(jnp.broadcast_shapes(theme.shape), jnp.bool_)
+        for c in range(3):
+            has = jnp.where(theme == c, state.extra["has_keys"][c], has)
+        door_blocks = jnp.logical_and(t == LOCKED_DOOR, ~has)
         base = jnp.logical_or(
             t == O.WALL_OBJ, t == state.out_of_bounds_object
         )

@@ -49,6 +49,7 @@ class Ninja(GameDef):
     block_zeroes_velocity_types = (THROWING_STAR,)
     agent_only_smart = False  # throwing stars are smart_step
     max_smart_entities = 8
+    smart_entities_grid_collide = True  # stars stick/explode on walls
 
     def __init__(self, cfg):
         self.easy = cfg.distribution_mode == DistributionMode.easy
