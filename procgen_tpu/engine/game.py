@@ -11,11 +11,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from procgen_tpu import rng as R
 from procgen_tpu.state import F32, I32, EnvState
 
-INT32_997 = jnp.int32(997)
+INT32_997 = np.int32(997)
 
 
 def reset_env(gd, cfg, state: EnvState) -> EnvState:

@@ -16,13 +16,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from procgen_tpu import objects as O
 from procgen_tpu.engine import entity_ops as eo
 from procgen_tpu.state import F32, I32, EnvState
 
-POS_EPS = jnp.float32(-0.001)  # bag.cpp:10
-SUB_STEP_MARGIN = jnp.float32(0.98)  # bag.cpp:276
+POS_EPS = np.float32(-0.001)  # bag.cpp:10
+SUB_STEP_MARGIN = np.float32(0.98)  # bag.cpp:276
 
 
 # ---------------------------------------------------------------------------

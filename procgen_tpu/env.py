@@ -194,8 +194,9 @@ class ProcgenTPUEnv:
         return self._render_all(self.state)
 
     def observe(self):
-        rew = np.asarray(self.state.reward)
-        first = np.asarray(self.state.done)
+        # one round-trip for both scalars (remote backends pay per-transfer)
+        rew, first = jax.device_get((self.state.reward, self.state.done))
+        rew, first = np.asarray(rew), np.asarray(first)
         if self._obs is None and self._do_render:
             self._obs = self._render()
         ob = {"rgb": np.asarray(self._obs)} if self._do_render else {}
@@ -206,9 +207,13 @@ class ProcgenTPUEnv:
         self._obs = self._render() if self._do_render else None
 
     def get_info(self):
-        prev_seed = np.asarray(self.state.prev_level_seed)
-        prev_complete = np.asarray(self.state.level_complete)
-        seed = np.asarray(self.state.current_level_seed)
+        prev_seed, prev_complete, seed = jax.device_get(
+            (
+                self.state.prev_level_seed,
+                self.state.level_complete,
+                self.state.current_level_seed,
+            )
+        )
         infos = [
             {
                 "prev_level_seed": int(prev_seed[i]),

@@ -12,6 +12,7 @@ assignment.  That double-rounding differs from pure float32 math (float32(0.9)
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 F32 = jnp.float32
@@ -28,3 +29,27 @@ def dadd(cfg, a, c):
     if cfg.parity_mode:
         return (jnp.asarray(a).astype(jnp.float64) + float(c)).astype(F32)
     return jnp.asarray(a, F32) + F32(c)
+
+
+def seq(cfg, x):
+    """Pin the f32 rounding of an intermediate in a constant chain.
+
+    XLA's algebraic simplifier reassociates ``x - c1 + c2`` into
+    ``x + (c2 - c1)``, changing the rounding vs the reference's
+    left-to-right float evaluation; an optimization_barrier around the
+    intermediate blocks the fold.  Identity on the fast path."""
+    if cfg.parity_mode:
+        return jax.lax.optimization_barrier(x)
+    return x
+
+
+def dmuladd(cfg, a, c, b):
+    """float32( float(b) + c * double(a) ) with double intermediates -- the
+    shape of ``float x = b + .2 * rand01()`` where the double literal promotes
+    the whole expression (e.g. fruitbot.cpp:170).  ``b`` is a C++ float
+    (rounded to f32 before the promotion), ``c`` the double literal."""
+    if cfg.parity_mode:
+        a64 = jnp.asarray(a).astype(jnp.float64)
+        b64 = jnp.asarray(b, F32).astype(jnp.float64)
+        return (b64 + float(c) * a64).astype(F32)
+    return F32(b) + F32(c) * jnp.asarray(a, F32)

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from procgen_tpu import objects as O
 from procgen_tpu import rng as R
@@ -39,7 +40,7 @@ class BigFish(GameDef):
     def __init__(self, cfg):
         self.start_r = 1.0 if cfg.distribution_mode == DistributionMode.easy else 0.5
         # match_aspect_ratio uses the per-theme sprite aspect (bag.cpp:1014-1023)
-        self.fish_aspects = jnp.asarray(
+        self.fish_aspects = np.asarray(
             [assets.aspect_ratio(n) for n in self.FISH_ASSETS], F32
         )
 
@@ -142,7 +143,7 @@ class BigFish(GameDef):
         mt, theme = R.mt_randn(mt, len(self.FISH_ASSETS), active=spawn)
         fields["image_theme"] = theme
         # match_aspect_ratio (bag.cpp:1014-1023): ry = rx / aspect(theme)
-        fields["ry"] = ent_r / self.fish_aspects[theme]
+        fields["ry"] = ent_r / jnp.asarray(self.fish_aspects)[theme]
         fields["is_reflected"] = ~moves_right
         ents, _ = eo.append_entity(state.ents, fields, active=spawn)
         state = state.replace(rng=mt, ents=ents)

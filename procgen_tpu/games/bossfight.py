@@ -88,13 +88,13 @@ class Bossfight(GameDef):
         easy = cfg.distribution_mode == DistributionMode.easy
         self.boss_bullet_vel = 0.5 if easy else 0.75
         self.max_extra_invulnerable = 1 if easy else 3
-        self.player_aspects = jnp.asarray(
+        self.player_aspects = np.asarray(
             [assets.aspect_ratio(n) for n in PLAYER_ASSETS], F32
         )
-        self.boss_aspects = jnp.asarray(
+        self.boss_aspects = np.asarray(
             [assets.aspect_ratio(n) for n in BOSS_ASSETS], F32
         )
-        self.barrier_aspects = jnp.asarray(
+        self.barrier_aspects = np.asarray(
             [assets.aspect_ratio(n) for n in BARRIER_ASSETS], F32
         )
 
@@ -176,7 +176,7 @@ class Bossfight(GameDef):
 
         # boss + shields (bossfight.cpp:212-218)
         rs, boss_theme = R.rs_randn(rs, len(BOSS_ASSETS))
-        boss_ry = BOSS_R / self.boss_aspects[boss_theme]
+        boss_ry = BOSS_R / jnp.asarray(self.boss_aspects)[boss_theme]
         boss = eo.make_entity(mw / 2, mh / 2, 0.0, 0.0, BOSS_R, boss_ry, BOSS)
         boss["image_theme"] = boss_theme
         ents, _ = eo.append_entity(state.ents, boss, active=True)
@@ -225,7 +225,7 @@ class Bossfight(GameDef):
 
         # agent sizing + reposition (bossfight.cpp:242-246)
         arx = F32(0.75)
-        ary = arx / self.player_aspects[agent_theme]
+        ary = arx / jnp.asarray(self.player_aspects)[agent_theme]
         state = state.replace(
             ents=eo.write_slot(
                 state.ents, eo.AGENT, rx=arx, ry=ary, image_theme=agent_theme
@@ -276,7 +276,7 @@ class Bossfight(GameDef):
             rs, th = R.rs_randn(rs, len(BARRIER_ASSETS), active=active)
             fields = eo.make_entity(
                 ent_x, ent_y, 0.0, 0.0, barrier_r,
-                barrier_r / self.barrier_aspects[th], BARRIER,
+                barrier_r / jnp.asarray(self.barrier_aspects)[th], BARRIER,
             )
             fields["image_theme"] = th
             fields["health"] = F32(3.0)

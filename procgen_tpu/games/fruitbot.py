@@ -7,6 +7,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from procgen_tpu import fmath as fm
 from procgen_tpu import objects as O
 from procgen_tpu import rng as R
 from procgen_tpu.config import DistributionMode
@@ -71,10 +72,10 @@ class FruitBot(GameDef):
             1 + 2 * self.num_walls + 2 * max_doors + self.world_w + 19 + 19 + 3
         )
         self.reset_max_draws = 2048
-        self.good_aspects = jnp.asarray(
+        self.good_aspects = np.asarray(
             [assets.aspect_ratio(n) for n in GOOD_ASSETS], F32
         )
-        self.bad_aspects = jnp.asarray(
+        self.bad_aspects = np.asarray(
             [assets.aspect_ratio(n) for n in BAD_ASSETS], F32
         )
 
@@ -131,11 +132,17 @@ class FruitBot(GameDef):
         selected, matching the reference's draw order exactly."""
         mw = F32(self.world_w)
         rs, u_pct = R.rs_rand01(rs)
-        pct = F32(self.min_pct) + F32(0.2) * u_pct
+        # pct = min_pct + .2 * rand01(): the double literal promotes the whole
+        # expression, one rounding into float (fruitbot.cpp:170)
+        pct = fm.dmuladd(cfg, u_pct, 0.2, self.min_pct)
 
         pct_door = pct + F32(0.1)
-        lock_pct_w = F32(2 * LOCK_RX / self.world_w)
-        door_pct_w = F32(WALL_RY * 2 * DOOR_ASPECT_RATIO / self.world_w)
+        # f32 chain order of fruitbot.cpp:173-174 (each op rounds)
+        lock_pct_w = F32(np.float32(2) * np.float32(LOCK_RX) / np.float32(self.world_w))
+        door_pct_w = F32(
+            np.float32(WALL_RY) * np.float32(2) * np.float32(DOOR_ASPECT_RATIO)
+            / np.float32(self.world_w)
+        )
         num_doors = jnp.ceil((pct_door - 2 * lock_pct_w) / door_pct_w)
         pct = jnp.where(use_door, 2 * lock_pct_w + door_pct_w * num_doors, pct)
 
@@ -160,8 +167,12 @@ class FruitBot(GameDef):
             state, door_x, ry, 0.0, 0.0, gapw / 2 - LOCK_RX, WALL_RY,
             LOCKED_DOOR, active=use_door,
         )
+        # (ry - lock_ry) + wall_ry rounds left-to-right in the reference
+        # (fruitbot.cpp:193); fm.seq pins the intermediate against XLA's
+        # constant reassociation
+        lock_y = fm.seq(cfg, ry - F32(LOCK_RY)) + F32(WALL_RY)
         state, _ = eo.add_entity_rxy(
-            state, lock_x, ry - LOCK_RY + WALL_RY, 0.0, 0.0, LOCK_RX, LOCK_RY,
+            state, lock_x, lock_y, 0.0, 0.0, LOCK_RX, LOCK_RY,
             LOCK, active=use_door,
         )
         return state, rs
@@ -233,7 +244,7 @@ class FruitBot(GameDef):
                 jnp.where(is_obj, th, image_theme[i])
             )
             ar = jnp.where(
-                t == GOOD_OBJ, self.good_aspects[th], self.bad_aspects[th]
+                t == GOOD_OBJ, jnp.asarray(self.good_aspects)[th], jnp.asarray(self.bad_aspects)[th]
             )
             new_ry = jnp.where(ar > 1, rx[i] / ar, ry[i])
             new_rx = jnp.where(ar > 1, rx[i], ry[i] * ar)

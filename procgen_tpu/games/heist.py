@@ -7,6 +7,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from procgen_tpu import objects as O
 from procgen_tpu import rng as R
@@ -58,10 +59,10 @@ class HeistGame(GameDef):
         self.world_h_max = self.world_dim
         # heist.cpp:122: center_agent forced on only in memory mode
         self.force_center_agent = mode == DistributionMode.memory
-        self.key_aspects = jnp.asarray(
+        self.key_aspects = np.asarray(
             [assets.aspect_ratio(n) for n in KEY_ASSETS], F32
         )
-        self.exit_aspect = F32(assets.aspect_ratio(EXIT_ASSET))
+        self.exit_aspect = np.float32(assets.aspect_ratio(EXIT_ASSET))
 
     def use_block_asset(self, type_):
         # heist.cpp:62-64
@@ -221,7 +222,7 @@ class HeistGame(GameDef):
                 k_key, jnp.clip(mv[ei] - O.KEY_OBJ - 1, 0, 2), 0
             )
             aspect = jnp.where(
-                k_key, self.key_aspects[theme], self.exit_aspect
+                k_key, jnp.asarray(self.key_aspects)[theme], self.exit_aspect
             )
             # door: add_entity at cell center (heist.cpp:178-180)
             fields["x"] = jnp.where(k_door, (wx + 0.5) * maze_scale, px)

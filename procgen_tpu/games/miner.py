@@ -176,9 +176,11 @@ class MinerGame(GameDef):
         ents, _ = eo.append_entity(state.ents, fields)
         state = state.replace(ents=ents, grid=flat.reshape(W, W))
 
-        extra = dict(state.extra)
-        extra["diamonds_remaining"] = jnp.asarray(self.num_diamonds, I32)
-        return state.replace(extra=extra), rs
+        # diamonds_remaining is deliberately NOT set here: the reference
+        # member (miner.cpp:23) is only recomputed by the game_step grid
+        # sweep (miner.cpp:305) and carries its previous value across
+        # resets until the first step.
+        return state, rs
 
     def game_step(self, cfg, state: EnvState) -> EnvState:
         state = base_game_step(self, cfg, state)

@@ -59,7 +59,7 @@ class Plunder(GameDef):
             1.5 if cfg.distribution_mode == DistributionMode.easy else 1.0
         )
         self.easy = cfg.distribution_mode == DistributionMode.easy
-        self.ship_aspects = jnp.asarray(
+        self.ship_aspects = np.asarray(
             [assets.aspect_ratio(n) for n in SHIP_ASSETS], F32
         )
         self.min_agent_x_of = lambda arx: 2 * LEGEND_R + arx
@@ -155,7 +155,7 @@ class Plunder(GameDef):
             TARGET_BACKGROUND,
         )
         leg_rx = r_scale * KEY_SCALE
-        leg_ry = leg_rx / self.ship_aspects[perm[0]]  # match_aspect_ratio
+        leg_ry = leg_rx / jnp.asarray(self.ship_aspects)[perm[0]]  # match_aspect_ratio
         fields = eo.make_entity(
             LEGEND_R, LEGEND_R, 0.0, 0.0, leg_rx, leg_ry, TARGET_LEGEND
         )
@@ -169,7 +169,7 @@ class Plunder(GameDef):
         rs, th_idx = R.rs_randn(rs, NUM_CURRENT // 2)  # randn(1), still drawn
         agent_theme = perm[th_idx + NUM_CURRENT // 2]
         arx = r_scale
-        ary = arx / self.ship_aspects[agent_theme]
+        ary = arx / jnp.asarray(self.ship_aspects)[agent_theme]
         ents = eo.write_slot(
             state.ents, eo.AGENT, rx=arx, ry=ary, rotation=F32(-np.pi / 2),
             image_type=jnp.asarray(SHIP, I32), image_theme=agent_theme,
@@ -293,7 +293,7 @@ class Plunder(GameDef):
         ent_x = jnp.where(moves_right, -r_scale, mw + r_scale)
         fields = eo.make_entity(
             ent_x, ent_y, ent_vx, 0.0, r_scale,
-            r_scale / self.ship_aspects[theme], SHIP,
+            r_scale / jnp.asarray(self.ship_aspects)[theme], SHIP,
         )
         fields["image_type"] = jnp.asarray(SHIP, I32)
         fields["image_theme"] = theme

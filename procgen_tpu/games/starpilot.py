@@ -114,18 +114,18 @@ class StarPilot(GameDef):
         hp_object_r[CLOUD] = 2
         hp_weight[FLYER] = 3
         hp_weight[[BULLET_PLAYER, BULLET2, BULLET3]] = 0
-        self.hp_vs = jnp.asarray(hp_vs)
-        self.hp_healths = jnp.asarray(hp_healths)
+        self.hp_vs = np.asarray(hp_vs)
+        self.hp_healths = np.asarray(hp_healths)
         self.hp_weight = hp_weight
-        self.hp_bullet_r = jnp.asarray(hp_bullet_r)
-        self.hp_object_r = jnp.asarray(hp_object_r)
+        self.hp_bullet_r = np.asarray(hp_bullet_r)
+        self.hp_object_r = np.asarray(hp_object_r)
         self.total_prob_weight = float(hp_weight[2:].sum())
         self.hp_slow_v = 0.5
         self.can_spawn_left = mode != DistributionMode.easy
-        self.turret_aspects = jnp.asarray(
+        self.turret_aspects = np.asarray(
             [assets.aspect_ratio(n) for n in TURRET_ASSETS], F32
         )
-        self.finish_aspects = jnp.asarray(
+        self.finish_aspects = np.asarray(
             [assets.aspect_ratio(n) for n in FINISH_ASSETS], F32
         )
 
@@ -306,7 +306,7 @@ class StarPilot(GameDef):
                 rs, NUM_SHIP_THEMES, active=at_j0 & on & is_flyer_t
             )
             fth = jnp.where(at_j0, fth_new, iv["fth"])
-            r = self.hp_object_r[typ]
+            r = jnp.asarray(self.hp_object_r)[typ]
             rs, yp_new = eo.rand_pos(rs, r, 0.0, 16.0, active=at_j0 & on)
             yp = jnp.where(at_j0, yp_new, iv["yp"])
             iv = {"typ": typ, "group_size": group_size, "fth": fth, "yp": yp}
@@ -317,10 +317,10 @@ class StarPilot(GameDef):
             rs, ft = R.rs_randint(rs, 10, 100, active=jon)
             rs, u_th = R.rs_rand01(rs, active=jon)
             theta = (u_th - 0.5) * F32(2 * PI / 4)
-            v_scale = self.hp_vs[typ]
+            v_scale = jnp.asarray(self.hp_vs)[typ]
             rs, z = R.rs_randint(rs, 0, 2, active=jon)
             theta = jnp.where(z == 1, 0.0, theta)
-            health = self.hp_healths[typ]
+            health = jnp.asarray(self.hp_healths)[typ]
             slow = (typ == METEOR) | (typ == CLOUD)
             theta = jnp.where(slow | (typ == TURRET), 0.0, theta)
             v_scale = jnp.where(
@@ -346,7 +346,7 @@ class StarPilot(GameDef):
                 typ == CLOUD, th_c,
                 jnp.where(typ == METEOR, th_m, jnp.where(typ == TURRET, th_t, fth)),
             )
-            ry = jnp.where(typ == TURRET, r / self.turret_aspects[th_t], r)
+            ry = jnp.where(typ == TURRET, r / jnp.asarray(self.turret_aspects)[th_t], r)
             rot = jnp.where(
                 is_flyer_t, jnp.where(vx > 0, -1.0, 1.0) * F32(PI / 2), 0.0
             )
@@ -422,14 +422,14 @@ class StarPilot(GameDef):
         b_vy = ents.y[eo.AGENT] - ents.y
         norm = jnp.sqrt(b_vx * b_vx + b_vy * b_vy)
         btype = jnp.where(t == TURRET, BULLET3, BULLET2)
-        bvs = self.hp_vs[jnp.clip(btype, 0, NUM_BASIC_OBJECTS - 1)] * F32(
+        bvs = jnp.asarray(self.hp_vs)[jnp.clip(btype, 0, NUM_BASIC_OBJECTS - 1)] * F32(
             V_SCALE
         ) / jnp.maximum(norm, 1e-6)
         bfields = {
             k: jnp.broadcast_to(v, (E,))
             for k, v in eo.make_entity(0, 0, 0, 0, 0, 0, BULLET2).items()
         }
-        brx = self.hp_bullet_r[jnp.clip(t, 0, NUM_BASIC_OBJECTS - 1)]
+        brx = jnp.asarray(self.hp_bullet_r)[jnp.clip(t, 0, NUM_BASIC_OBJECTS - 1)]
         bfields = dict(
             bfields,
             x=ents.x, y=ents.y, vx=b_vx * bvs, vy=b_vy * bvs,
@@ -493,7 +493,7 @@ class StarPilot(GameDef):
         at_end = state.cur_time == SHOOTER_WIN_TIME
         mt, fin_theme = R.mt_randn(state.rng, 4, active=at_end)
         fin_ry = F32(8.0)
-        fin_rx = fin_ry * self.finish_aspects[fin_theme]  # match width=False
+        fin_rx = fin_ry * jnp.asarray(self.finish_aspects)[fin_theme]  # match width=False
         fin = eo.make_entity(
             16.0 + fin_rx, 8.0, -F32(self.hp_slow_v) * F32(V_SCALE), 0.0,
             fin_rx, fin_ry, FINISH_LINE,

@@ -266,7 +266,12 @@ def serialize_env(gd, cfg, s, i: int) -> bytes:
 
 
 def state_to_host(state) -> dict:
-    """Flatten a batched EnvState into named numpy arrays (one transfer)."""
+    """Flatten a batched EnvState into named numpy arrays (one transfer).
+
+    The whole pytree is pulled with a single ``jax.device_get`` -- per-leaf
+    ``np.asarray`` costs one device round-trip each (~80 RTTs), which
+    dominates wall time on remote-device backends."""
+    state = jax.device_get(state)
     flat = {}
     flat["rng.key"] = np.asarray(state.rng.key)
     flat["rng.pos"] = np.asarray(state.rng.pos)

@@ -22,6 +22,7 @@ from dataclasses import dataclass, field
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(1, os.path.join(REPO, "tools"))
 REFDUMP = os.path.join(REPO, "native", "refharness", "refdump")
 
 MODE_INT = {"easy": 0, "hard": 1, "extreme": 2, "memory": 10}
@@ -147,6 +148,9 @@ def compare_game(game, steps=100, num_envs=2, rand_seed=23, mode="hard",
     import jax
 
     jax.config.update("jax_enable_x64", True)  # parity_mode f64 sites
+    # persistent compile cache: repeated parity runs skip the big compiles
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from procgen_tpu.env import ProcgenTPUEnv
 
     dump_path = f"/tmp/refdump_{game}_{mode}_{rand_seed}_{num_envs}x{steps}.bin"
@@ -163,6 +167,17 @@ def compare_game(game, steps=100, num_envs=2, rand_seed=23, mode="hard",
 
     problems = []
 
+    def describe(rb, ob, d):
+        """Name the differing field via the annotated layout parser."""
+        try:
+            from state_inspect import annotate, find
+
+            hit_r = find(annotate(rb), d)
+            hit_o = find(annotate(ob), d)
+            return f" [ref field {hit_r}, ours {hit_o}]"
+        except Exception as exc:  # annotation is best-effort
+            return f" [inspect failed: {exc}]"
+
     def check_states(t, ours):
         refs = ro.init_states if t < 0 else ro.states[t]
         for e in range(num_envs):
@@ -175,12 +190,27 @@ def compare_game(game, steps=100, num_envs=2, rand_seed=23, mode="hard",
                     f"(ref len {len(rb)}, ours {len(ob)}); "
                     f"ref[{d}:{d+16 if d else 0}]={rb[d:d+16].hex() if d is not None else ''} "
                     f"ours={ob[d:d+16].hex() if d is not None else ''}"
+                    + describe(rb, ob, d)
                 )
+                if os.environ.get("REF_PARITY_DUMP"):
+                    dd = os.environ["REF_PARITY_DUMP"]
+                    os.makedirs(dd, exist_ok=True)
+                    with open(f"{dd}/{game}_t{t}_e{e}_ref.bin", "wb") as f:
+                        f.write(rb)
+                    with open(f"{dd}/{game}_t{t}_e{e}_ours.bin", "wb") as f:
+                        f.write(ob)
                 return False
         return True
 
     ok = check_states(-1, env.get_state())
     rew, obs, first = env.observe()
+    # initial rew/first (previously parsed but unchecked -- VERDICT r2 weak #5)
+    if not np.allclose(np.asarray(rew), np.asarray(ro.init_rew)):
+        problems.append(f"t=-1: init rew ours={list(map(float, rew))} ref={ro.init_rew}")
+    if list(np.asarray(first).astype(int)) != ro.init_first:
+        problems.append(
+            f"t=-1: init first ours={list(np.asarray(first).astype(int))} ref={ro.init_first}"
+        )
     for t in range(steps):
         if problems and len(problems) >= max_report:
             break
