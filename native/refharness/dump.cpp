@@ -105,7 +105,9 @@ int main(int argc, char **argv) {
     ob.add_int("num_actions", 15);
     ob.add_int("rand_seed", rand_seed);
     ob.add_int("num_threads", 0);
-    ob.add_str("resource_root", "stub/");
+    // real asset tree: the stub QImage parses PNG IHDR dims, which feed
+    // fit/match_aspect_ratio -> serialized entity rx/ry
+    ob.add_str("resource_root", "/root/reference/procgen/data/assets/");
     ob.add_bool("render_human", false);
     ob.add_bool("use_generated_assets", false);
     ob.add_bool("paint_vel_info", false);

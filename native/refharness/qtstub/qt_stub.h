@@ -1,11 +1,13 @@
 // Minimal no-op Qt5 stand-ins, just enough to compile the reference
 // procgen sources (/root/reference/procgen/src) WITHOUT Qt for state-level
 // conformance testing.  Drawing is discarded: only game-state math matters
-// for the golden rollout dumps, and none of the reference's state logic
-// reads pixels back (render_buf is excluded from serialize, game.cpp:216).
+// for the golden rollout dumps, and the reference never reads pixels back
+// into state (render_buf is excluded from serialize, game.cpp:216).
 //
-// QImage reports fixed 64x64 dimensions; no reference *state* path depends
-// on real asset dimensions (aspect ratios feed draw-time geometry only).
+// QImage DOES report the real PNG dimensions (parsed from the IHDR chunk):
+// fit_aspect_ratio/match_aspect_ratio (bag.cpp:1025-1049) write asset
+// aspect ratios into entity rx/ry, which are serialized state and feed
+// collision geometry -- a fixed stub size would corrupt the golden dumps.
 #pragma once
 
 #include <memory>
@@ -13,6 +15,7 @@
 #include <map>
 #include <vector>
 
+#include <cstdio>
 #include <cstring>
 
 typedef unsigned char uchar;
@@ -74,7 +77,18 @@ class QImage {
     enum Format { Format_Invalid, Format_RGB32, Format_ARGB32, Format_ARGB32_Premultiplied };
     QImage() : w_(64), h_(64) {}
     QImage(int w, int h, Format) : w_(w), h_(h) {}
-    QImage(const QString &) : w_(64), h_(64) {}
+    QImage(const QString &path) : w_(64), h_(64) {
+        // real dimensions from the PNG IHDR (big-endian w,h at bytes 16..23)
+        FILE *f = fopen(path.s_.c_str(), "rb");
+        if (f) {
+            unsigned char hdr[24];
+            if (fread(hdr, 1, 24, f) == 24 && memcmp(hdr + 1, "PNG", 3) == 0) {
+                w_ = (hdr[16] << 24) | (hdr[17] << 16) | (hdr[18] << 8) | hdr[19];
+                h_ = (hdr[20] << 24) | (hdr[21] << 16) | (hdr[22] << 8) | hdr[23];
+            }
+            fclose(f);
+        }
+    }
     QImage(unsigned char *, int w, int h, int, Format) : w_(w), h_(h) {}
     QImage convertToFormat(Format) const { return *this; }
     QImage mirrored(bool, bool) const { return *this; }

@@ -220,7 +220,9 @@ def rand_pos(rs, r, lo, hi, active=True):
     tight = (hi - lo) <= 2 * r
     draw_active = jnp.logical_and(jnp.asarray(active), ~tight)
     rs, u = R.rs_rand01(rs, active=draw_active)
-    loose_val = (hi - lo - 2 * r) * u + r + lo
+    # (range - 2r) * u + r + lo rounds left-to-right in f32 (bag.cpp:1107);
+    # the barrier stops XLA reassociating the trailing "+ r + lo" constants
+    loose_val = jax.lax.optimization_barrier((hi - lo - 2 * r) * u + r) + lo
     return rs, jnp.where(tight, (hi + lo) / 2, loose_val)
 
 

@@ -31,6 +31,35 @@ def dadd(cfg, a, c):
     return jnp.asarray(a, F32) + F32(c)
 
 
+def wide(cfg, x):
+    """Promote a C++ ``float`` operand to double for a parity-mode mixed
+    expression (e.g. support probes ``x - (rx - .01)``, ninja.cpp:358-359,
+    where the double literal promotes the chain).  Identity f32 cast on the
+    fast path."""
+    x = jnp.asarray(x, F32)
+    return x.astype(jnp.float64) if cfg.parity_mode else x
+
+
+def narrow(x):
+    """Round a (possibly f64) expression result back to the C++ float."""
+    return jnp.asarray(x).astype(F32)
+
+
+def fdiv(cfg, a, b):
+    """IEEE-correctly-rounded float32 division.
+
+    XLA's CPU backend lowers f32 division to a reciprocal refinement that is
+    1 ulp off IEEE in some cases (measured: 0.5/float32(30/22)); the C++
+    reference uses hardware-rounded ``float`` division.  In parity mode,
+    divide in f64 and narrow (exact f32 rounding except vanishingly rare
+    double-rounding ties); plain f32 divide on the fast path."""
+    if cfg.parity_mode:
+        a64 = jnp.asarray(a, F32).astype(jnp.float64)
+        b64 = jnp.asarray(b, F32).astype(jnp.float64)
+        return (a64 / b64).astype(F32)
+    return jnp.asarray(a, F32) / jnp.asarray(b, F32)
+
+
 def seq(cfg, x):
     """Pin the f32 rounding of an intermediate in a constant chain.
 

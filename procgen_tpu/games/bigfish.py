@@ -7,6 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from procgen_tpu import objects as O
+from procgen_tpu import fmath as fm
 from procgen_tpu import rng as R
 from procgen_tpu.config import DistributionMode
 from procgen_tpu.engine import entity_ops as eo
@@ -127,14 +128,30 @@ class BigFish(GameDef):
         spawn = roll == 1
         mt, u_r = R.mt_rand01(mt, active=spawn)
         # C++: (FISH_MAX_R - FISH_MIN_R) * pow(rand01(), 1.4) + FISH_MIN_R
-        # (double pow narrowed to float; f32 on the fast path)
-        ent_r = (FISH_MAX_R - FISH_MIN_R) * jnp.power(u_r, F32(1.4)) + FISH_MIN_R
+        # -- pow is double, promoting the whole expression; ONE narrowing to
+        # float at the assignment (bigfish.cpp:84).  f32 on the fast path.
+        if cfg.parity_mode:
+            u64 = u_r.astype(jnp.float64)
+            ent_r = (
+                jnp.float64(FISH_MAX_R - FISH_MIN_R) * u64 ** 1.4
+                + jnp.float64(FISH_MIN_R)
+            ).astype(F32)
+        else:
+            ent_r = (FISH_MAX_R - FISH_MIN_R) * jnp.power(u_r, F32(1.4)) + FISH_MIN_R
         mt, u_y = R.mt_rand01(mt, active=spawn)
         ent_y = u_y * (state.main_height.astype(F32) - 2 * ent_r)
         mt, u_right = R.mt_rand01(mt, active=spawn)
         moves_right = u_right < F32(0.5)
         mt, u_v = R.mt_rand01(mt, active=spawn)
-        ent_vx = (F32(0.15) + u_v * F32(0.25)) * jnp.where(moves_right, 1.0, -1.0)
+        # (.15 + rand01() * .25) * (+-1): double literals promote; one
+        # narrowing at the assignment (bigfish.cpp:87)
+        if cfg.parity_mode:
+            mag64 = 0.15 + u_v.astype(jnp.float64) * 0.25
+            ent_vx = (mag64 * jnp.where(moves_right, 1.0, -1.0)).astype(F32)
+        else:
+            ent_vx = (F32(0.15) + u_v * F32(0.25)) * jnp.where(
+                moves_right, 1.0, -1.0
+            )
         ent_x = jnp.where(
             moves_right, -ent_r, state.main_width.astype(F32) + ent_r
         )
@@ -143,7 +160,7 @@ class BigFish(GameDef):
         mt, theme = R.mt_randn(mt, len(self.FISH_ASSETS), active=spawn)
         fields["image_theme"] = theme
         # match_aspect_ratio (bag.cpp:1014-1023): ry = rx / aspect(theme)
-        fields["ry"] = ent_r / jnp.asarray(self.fish_aspects)[theme]
+        fields["ry"] = fm.fdiv(cfg, ent_r, jnp.asarray(self.fish_aspects)[theme])
         fields["is_reflected"] = ~moves_right
         ents, _ = eo.append_entity(state.ents, fields, active=spawn)
         state = state.replace(rng=mt, ents=ents)

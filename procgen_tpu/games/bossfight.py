@@ -8,6 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from procgen_tpu import objects as O
+from procgen_tpu import fmath as fm
 from procgen_tpu import rng as R
 from procgen_tpu.config import DistributionMode
 from procgen_tpu.engine import entity_ops as eo
@@ -176,7 +177,7 @@ class Bossfight(GameDef):
 
         # boss + shields (bossfight.cpp:212-218)
         rs, boss_theme = R.rs_randn(rs, len(BOSS_ASSETS))
-        boss_ry = BOSS_R / jnp.asarray(self.boss_aspects)[boss_theme]
+        boss_ry = fm.fdiv(cfg, BOSS_R, jnp.asarray(self.boss_aspects)[boss_theme])
         boss = eo.make_entity(mw / 2, mh / 2, 0.0, 0.0, BOSS_R, boss_ry, BOSS)
         boss["image_theme"] = boss_theme
         ents, _ = eo.append_entity(state.ents, boss, active=True)
@@ -225,7 +226,7 @@ class Bossfight(GameDef):
 
         # agent sizing + reposition (bossfight.cpp:242-246)
         arx = F32(0.75)
-        ary = arx / jnp.asarray(self.player_aspects)[agent_theme]
+        ary = fm.fdiv(cfg, arx, jnp.asarray(self.player_aspects)[agent_theme])
         state = state.replace(
             ents=eo.write_slot(
                 state.ents, eo.AGENT, rx=arx, ry=ary, image_theme=agent_theme

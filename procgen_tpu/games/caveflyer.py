@@ -7,6 +7,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from procgen_tpu import fmath as fm
 from procgen_tpu import objects as O
 from procgen_tpu import rng as R
 from procgen_tpu.config import DistributionMode
@@ -284,7 +285,15 @@ class CaveFlyer(GameDef):
             # enemy velocity: rand01 then randn(2) then axis rand01
             rs, u_v = R.rs_rand01(rs, active=is_enemy)
             rs, sgn = R.rs_randn(rs, 2, active=is_enemy)
-            vel = (F32(0.1) * u_v + F32(0.1)) * (sgn * 2 - 1).astype(F32)
+            # (.1 * rand01() + .1) * (randn(2)*2 - 1): double literals promote
+            # the whole chain; one narrowing at assignment (caveflyer.cpp:245)
+            if cfg.parity_mode:
+                vel = (
+                    (0.1 * u_v.astype(jnp.float64) + 0.1)
+                    * (sgn * 2 - 1).astype(jnp.float64)
+                ).astype(F32)
+            else:
+                vel = (F32(0.1) * u_v + F32(0.1)) * (sgn * 2 - 1).astype(F32)
             rs, u_a = R.rs_rand01(rs, active=is_enemy)
             fields["vx"] = jnp.where(is_enemy & (u_a < F32(0.5)), vel, 0.0)
             fields["vy"] = jnp.where(is_enemy & ~(u_a < F32(0.5)), vel, 0.0)

@@ -7,6 +7,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from procgen_tpu import fmath as fm
 from procgen_tpu import objects as O
 from procgen_tpu import rng as R
 from procgen_tpu.config import DistributionMode
@@ -115,14 +116,17 @@ class Climber(GameDef):
         )
 
     def choose_center(self, cfg, state):
-        # climber.cpp:261-265
+        # climber.cpp:261-265: cy promotes to double via the /2.0 literal,
+        # one narrowing into the float out-param
         ents = state.ents
         mw = state.main_width.astype(F32)
-        return (
-            mw / 2,
-            ents.y[eo.AGENT] + mw / 2 - 5 * ents.ry[eo.AGENT],
-            mw,
+        # 5 * ry is a FLOAT multiply (int * float) before the promotion
+        cy = fm.narrow(
+            fm.wide(cfg, ents.y[eo.AGENT])
+            + fm.wide(cfg, mw) / 2.0
+            - fm.wide(cfg, 5 * ents.ry[eo.AGENT])
         )
+        return mw / 2, cy, mw
 
     def is_blocked(self, cfg, state, src_type, target_type, is_horizontal):
         base = GameDef.is_blocked(self, cfg, state, src_type, target_type, is_horizontal)

@@ -7,6 +7,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from procgen_tpu import fmath as fm
 from procgen_tpu import objects as O
 from procgen_tpu import rng as R
 from procgen_tpu.config import DistributionMode
@@ -302,10 +303,10 @@ class CoinRun(GameDef):
         state = state.replace(
             ents=eo.write_slot(
                 state.ents, eo.AGENT, rx=F32(0.5), ry=F32(0.5787),
-                x=F32(1.5), y=F32(1 + 0.5787), image_theme=agent_theme,
+                x=F32(1.5), y=F32(np.float32(1) + np.float32(0.5787)), image_theme=agent_theme,
             )
         )
-        extra["last_agent_y"] = F32(1 + 0.5787)
+        extra["last_agent_y"] = F32(np.float32(1) + np.float32(0.5787))
         extra["is_on_crate"] = jnp.asarray(False)
         extra["has_support"] = jnp.asarray(False)
         extra["facing_right"] = jnp.asarray(True)

@@ -7,6 +7,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from procgen_tpu import fmath as fm
 from procgen_tpu import objects as O
 from procgen_tpu import rng as R
 from procgen_tpu.config import DistributionMode
@@ -50,24 +51,27 @@ class Dodgeball(GameDef):
     def __init__(self, cfg):
         mode = cfg.distribution_mode
         # dodgeball.cpp:279-313
-        thickness, enemy_r, exit_r = 0.3, 0.5, 0.75
-        ball_r, ball_vscale = 0.25, 0.25
+        # constants follow the reference's float-with-double-literal
+        # chains (dodgeball.cpp:270-312): e.g. hard thickness =
+        # float(float(0.3f) * 1.5) = 0.45000002, not float32(0.45)
+        thickness, enemy_r, exit_r = np.float32(0.3), np.float32(0.5), np.float32(0.75)
+        ball_r, ball_vscale = np.float32(0.25), np.float32(0.25)
         max_extra_enemies = 3
         if mode == DistributionMode.easy:
             self.num_iterations = 2
-            thickness *= 2
-            enemy_r *= 2
-            ball_r *= 2
-            ball_vscale *= 2
+            thickness = np.float32(thickness * np.float64(2))
+            enemy_r = np.float32(enemy_r * np.float64(2))
+            ball_r = np.float32(ball_r * np.float64(2))
+            ball_vscale = np.float32(ball_vscale * np.float64(2))
             self.maxspeed = 0.75
             self.agent_r = 1.0
-            exit_r *= 2
+            exit_r = np.float32(exit_r * np.float64(2))
         elif mode == DistributionMode.hard:
             self.num_iterations = 4
-            thickness *= 1.5
-            enemy_r *= 1.5
-            ball_r *= 1.5
-            ball_vscale *= 1.5
+            thickness = np.float32(thickness * np.float64(1.5))
+            enemy_r = np.float32(enemy_r * np.float64(1.5))
+            ball_r = np.float32(ball_r * np.float64(1.5))
+            ball_vscale = np.float32(ball_vscale * np.float64(1.5))
             self.maxspeed = 0.5
             self.agent_r = 0.75
         elif mode == DistributionMode.extreme:
@@ -76,10 +80,10 @@ class Dodgeball(GameDef):
             self.agent_r = 0.4  # unchanged from the base spawn radius
         elif mode == DistributionMode.memory:
             self.num_iterations = 16
-            thickness *= 1.5
-            enemy_r *= 1.5
-            ball_r *= 1.5
-            ball_vscale *= 1.5
+            thickness = np.float32(thickness * np.float64(1.5))
+            enemy_r = np.float32(enemy_r * np.float64(1.5))
+            ball_r = np.float32(ball_r * np.float64(1.5))
+            ball_vscale = np.float32(ball_vscale * np.float64(1.5))
             self.maxspeed = 0.5
             self.agent_r = 0.75
             max_extra_enemies = 16

@@ -120,11 +120,20 @@ class FruitBot(GameDef):
         return avx, F32(0.2), F32(0.0)
 
     def choose_center(self, cfg, state):
-        # fruitbot.cpp:142-146
+        # fruitbot.cpp:142-146: cy = agent->y + main_width / 2.0 - 2 * ry
+        # promotes to double via the 2.0 literal; one narrowing into the
+        # float center_y out-param
         ents = state.ents
         mw = state.main_width.astype(F32)
         cx = mw / 2
-        cy = ents.y[eo.AGENT] + mw / 2 - 2 * ents.ry[eo.AGENT]
+        if cfg.parity_mode:
+            cy = (
+                ents.y[eo.AGENT].astype(jnp.float64)
+                + state.main_width.astype(jnp.float64) / 2.0
+                - 2.0 * ents.ry[eo.AGENT].astype(jnp.float64)
+            ).astype(F32)
+        else:
+            cy = ents.y[eo.AGENT] + mw / 2 - 2 * ents.ry[eo.AGENT]
         return cx, cy, mw
 
     def _add_walls(self, cfg, state, rs, curr_h, use_door):
@@ -246,7 +255,7 @@ class FruitBot(GameDef):
             ar = jnp.where(
                 t == GOOD_OBJ, jnp.asarray(self.good_aspects)[th], jnp.asarray(self.bad_aspects)[th]
             )
-            new_ry = jnp.where(ar > 1, rx[i] / ar, ry[i])
+            new_ry = jnp.where(ar > 1, fm.fdiv(cfg, rx[i], ar), ry[i])
             new_rx = jnp.where(ar > 1, rx[i], ry[i] * ar)
             rx = rx.at[i].set(jnp.where(is_obj, new_rx, rx[i]))
             ry = ry.at[i].set(jnp.where(is_obj, new_ry, ry[i]))

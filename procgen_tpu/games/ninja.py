@@ -7,6 +7,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from procgen_tpu import fmath as fm
 from procgen_tpu import objects as O
 from procgen_tpu import rng as R
 from procgen_tpu.config import DistributionMode
@@ -128,10 +129,16 @@ class Ninja(GameDef):
             avx > 0, True, jnp.where(avx < 0, False, extra["facing_right"])
         )
         ents = state.ents
-        ax, ay = ents.x[eo.AGENT], ents.y[eo.AGENT]
-        arx, ary = ents.rx[eo.AGENT], ents.ry[eo.AGENT]
-        b1 = ph.get_obj_from_floats(state, ax - (arx - 0.01), ay - (ary + 0.01))
-        b2 = ph.get_obj_from_floats(state, ax + (arx - 0.01), ay - (ary + 0.01))
+        # probe coords promote to double via the .01 literals
+        # (ninja.cpp:358-359); the f32 probe can floor() into the wrong cell
+        ax, ay = fm.wide(cfg, ents.x[eo.AGENT]), fm.wide(cfg, ents.y[eo.AGENT])
+        arx, ary = fm.wide(cfg, ents.rx[eo.AGENT]), fm.wide(cfg, ents.ry[eo.AGENT])
+        b1 = ph.get_obj_from_floats(
+            state, fm.narrow(ax - (arx - 0.01)), fm.narrow(ay - (ary + 0.01))
+        )
+        b2 = ph.get_obj_from_floats(
+            state, fm.narrow(ax + (arx - 0.01)), fm.narrow(ay - (ary + 0.01))
+        )
         has_support = (b1 == WALL_MID) | (b2 == WALL_MID)
         extra["has_support"] = has_support
         charging = has_support & (avy == 1)

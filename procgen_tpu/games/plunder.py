@@ -8,6 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from procgen_tpu import objects as O
+from procgen_tpu import fmath as fm
 from procgen_tpu import rng as R
 from procgen_tpu.config import DistributionMode
 from procgen_tpu.engine import entity_ops as eo
@@ -138,7 +139,11 @@ class Plunder(GameDef):
             rs, u_d = R.rs_rand01(rs)
             lane_dirs = lane_dirs.at[i].set(u_d < F32(0.5))
             rs, u_v = R.rs_rand01(rs)
-            lane_vels = lane_vels.at[i].set(F32(0.15) + F32(0.1) * u_v)
+            # .15 + .1 * rand01(): double literals promote, one narrowing on
+            # the vector<float> push_back (plunder.cpp:153)
+            lane_vels = lane_vels.at[i].set(
+                fm.narrow(0.15 + 0.1 * fm.wide(cfg, u_v))
+            )
 
         # panels (hard only; the easy ternary skips the randn, plunder.cpp:156)
         if not self.easy:
@@ -155,7 +160,7 @@ class Plunder(GameDef):
             TARGET_BACKGROUND,
         )
         leg_rx = r_scale * KEY_SCALE
-        leg_ry = leg_rx / jnp.asarray(self.ship_aspects)[perm[0]]  # match_aspect_ratio
+        leg_ry = fm.fdiv(cfg, leg_rx, jnp.asarray(self.ship_aspects)[perm[0]])  # match_aspect_ratio
         fields = eo.make_entity(
             LEGEND_R, LEGEND_R, 0.0, 0.0, leg_rx, leg_ry, TARGET_LEGEND
         )
@@ -169,7 +174,7 @@ class Plunder(GameDef):
         rs, th_idx = R.rs_randn(rs, NUM_CURRENT // 2)  # randn(1), still drawn
         agent_theme = perm[th_idx + NUM_CURRENT // 2]
         arx = r_scale
-        ary = arx / jnp.asarray(self.ship_aspects)[agent_theme]
+        ary = fm.fdiv(cfg, arx, jnp.asarray(self.ship_aspects)[agent_theme])
         ents = eo.write_slot(
             state.ents, eo.AGENT, rx=arx, ry=ary, rotation=F32(-np.pi / 2),
             image_type=jnp.asarray(SHIP, I32), image_theme=agent_theme,

@@ -8,6 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from procgen_tpu import objects as O
+from procgen_tpu import fmath as fm
 from procgen_tpu import rng as R
 from procgen_tpu.config import DistributionMode
 from procgen_tpu.engine import entity_ops as eo
@@ -316,7 +317,11 @@ class StarPilot(GameDef):
             spawn_time = t + j * 5
             rs, ft = R.rs_randint(rs, 10, 100, active=jon)
             rs, u_th = R.rs_rand01(rs, active=jon)
-            theta = (u_th - 0.5) * F32(2 * PI / 4)
+            # float theta = (rand01() - .5) * k: the .5 literal promotes, one
+            # narrowing into the float theta (starpilot.cpp:263)
+            theta = fm.narrow(
+                (fm.wide(cfg, u_th) - 0.5) * F32(2 * PI / 4)
+            )
             v_scale = jnp.asarray(self.hp_vs)[typ]
             rs, z = R.rs_randint(rs, 0, 2, active=jon)
             theta = jnp.where(z == 1, 0.0, theta)
@@ -330,8 +335,14 @@ class StarPilot(GameDef):
             rs, tft = R.rs_randint(rs, 20, 30, active=jon & (typ == TURRET))
             fire_time = jnp.where(typ == TURRET, tft, fire_time)
             v_scale = v_scale * F32(V_SCALE)
-            vx = -jnp.cos(theta) * v_scale
-            vy = jnp.sin(theta) * v_scale
+            # vx/vy: double cos/sin of the float theta, double product chain,
+            # one narrowing at the float assignment (starpilot.cpp:284-285)
+            vx = fm.narrow(
+                -1.0 * jnp.cos(fm.wide(cfg, theta)) * fm.wide(cfg, v_scale)
+            )
+            vy = fm.narrow(
+                jnp.sin(fm.wide(cfg, theta)) * fm.wide(cfg, v_scale)
+            )
 
             flyer_j = jon & is_flyer_t
             rs, u_sr = R.rs_rand01(rs, active=flyer_j)
@@ -346,7 +357,7 @@ class StarPilot(GameDef):
                 typ == CLOUD, th_c,
                 jnp.where(typ == METEOR, th_m, jnp.where(typ == TURRET, th_t, fth)),
             )
-            ry = jnp.where(typ == TURRET, r / jnp.asarray(self.turret_aspects)[th_t], r)
+            ry = jnp.where(typ == TURRET, fm.fdiv(cfg, r, jnp.asarray(self.turret_aspects)[th_t]), r)
             rot = jnp.where(
                 is_flyer_t, jnp.where(vx > 0, -1.0, 1.0) * F32(PI / 2), 0.0
             )

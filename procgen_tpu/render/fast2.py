@@ -462,12 +462,22 @@ def entity_records(gd, cfg, states, tables, z_split: bool):
 
 
 def composite_entities(
-    gd, cfg, states, tables, records, kmax, canvas, z_filter="all", group=4
+    gd, cfg, states, tables, records, kmax, canvas, z_filter="all", group=8
 ):
     """Blend sorted entity records over ``canvas`` (f32 (N, 64, 64, 3)).
 
-    Sprite placement and sampling are one full-frame separable pass per draw
-    call; draw calls run in unrolled groups so XLA fuses the blend chain."""
+    Structure chosen from measurement at num_envs=8192 (TPU v5e):
+
+    * draws are STATICALLY unrolled (python loop over record slots) -- a
+      fori_loop with a traced bound inside the caller's step scan cost ~4x
+      in while-loop buffer traffic;
+    * groups of ``group`` draws are skipped at runtime with a scalar-pred
+      ``lax.cond`` on kmax (records are z-sorted with non-drawable slots
+      last, so slots >= kmax never draw);
+    * sampling matmul intermediates are bf16 (texels <= 255 are exact in
+      bf16's 8-bit mantissa) and alpha is premultiplied into the sampled
+      texel row, halving the per-draw HBM traffic that dominates cost.
+    """
     N, E, _ = records.shape
     R = tables.R
     px = jnp.arange(RES, dtype=F32) + 0.5
@@ -505,33 +515,40 @@ def composite_entities(
         tex = jnp.einsum(
             "nv,vf->nf", oh_var, _bf(tables.var_flat),
             preferred_element_type=jnp.float32,
-        ).reshape(N, R, R * 4)
+        ).reshape(N, R, R, 4)
+        # premultiply alpha (incl. the entity's own alpha) into the texel:
+        # spr then carries [rgb * a, a] and the blend is a single fma
+        a_tex = tex[..., 3:4] * (g("alpha") / 255.0)[:, None, None, None]
+        tex_p = jnp.concatenate([tex[..., :3] * a_tex, a_tex], axis=-1)
         tmp = jnp.einsum(
-            "nys,nsf->nyf", ohy, _bf(tex), preferred_element_type=jnp.float32
+            "nys,nsf->nyf", ohy, _bf(tex_p.reshape(N, R, R * 4)),
+            preferred_element_type=jnp.bfloat16,
         ).reshape(N, RES, R, 4)
         spr = jnp.einsum(
-            "nyrc,nrx->nyxc", _bf(tmp), ohx, preferred_element_type=jnp.float32
+            "nyrc,nrx->nyxc", tmp, ohx, preferred_element_type=jnp.float32
         )
-        a = spr[..., 3] * (g("alpha") / 255.0)[:, None, None]
-        return spr[..., :3] * a[..., None] + canvas * (1 - a[..., None])
+        a = spr[..., 3:]
+        return spr[..., :3] + canvas * (1 - a)
 
-    n_groups = (kmax + group - 1) // group
-
-    def body(gi, canvas):
+    def draw_group(g0, canvas):
         for j in range(group):
-            k = gi * group + j
-            rec = jax.lax.dynamic_slice_in_dim(records, k, 1, axis=1)[:, 0]
-            # mask draws past kmax (records there are ok=0 anyway once past
-            # the alive count, but k can exceed E-1 on the last group)
-            canvas = draw_one(rec, canvas)
+            k = g0 + j
+            if k < E:
+                canvas = draw_one(records[:, k], canvas)
         return canvas
 
-    # clamp so dynamic_slice never reads past E (slice clamps, but the last
-    # group may re-read record E-1: its ok flag gates any double draw only if
-    # the record is drawable -- guard by masking rank >= kmax? records are
-    # sorted with non-drawable last, so re-reading the last record is safe
-    # only when it is non-drawable. Pad records with one zero row instead.
-    return jax.lax.fori_loop(0, n_groups, body, canvas)
+    if E <= group:
+        return draw_group(0, canvas)
+    n_groups = (E + group - 1) // group
+    for gi in range(n_groups):
+        g0 = gi * group
+        canvas = jax.lax.cond(
+            g0 < kmax,
+            lambda cv, g0=g0: draw_group(g0, cv),
+            lambda cv: cv,
+            canvas,
+        )
+    return canvas
 
 
 def _pad_records(records):
@@ -586,6 +603,30 @@ def _paint_hud(gd, cfg, states, out):
 # ---------------------------------------------------------------------------
 
 
+def _use_pallas() -> bool:
+    import os
+
+    if os.environ.get("PROCGEN_TPU_NO_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _composite(gd, cfg, states, tables, records, kmax, canvas, z_filter="all"):
+    """Dispatch: VMEM-resident Pallas compositor on TPU, einsum path
+    elsewhere.  Both take/return interleaved (N, 64, 64, 3) f32."""
+    if not _use_pallas():
+        return composite_entities(
+            gd, cfg, states, tables, records, kmax, canvas, z_filter
+        )
+    from procgen_tpu.render.pallas_compositor import composite_entities_pallas
+
+    planar = jnp.transpose(canvas, (0, 3, 1, 2))
+    planar = composite_entities_pallas(
+        tables, records, kmax, planar, z_filter
+    )
+    return jnp.transpose(planar, (0, 2, 3, 1))
+
+
 def render_frames2(gd, cfg, states, pack) -> jax.Array:
     """Per-step batched frames -> (N, 64, 64, 3) uint8."""
     from procgen_tpu.engine.base import GameDef as _GD
@@ -607,22 +648,22 @@ def render_frames2(gd, cfg, states, pack) -> jax.Array:
         records, kmax = entity_records(gd, cfg, states, tables, grid_dyn)
         records = _pad_records(records)
         if grid_dyn:
-            canvas = composite_entities(
+            canvas = _composite(
                 gd, cfg, states, tables, records, kmax, canvas, "neg"
             )
             canvas = grid_pass(gd, cfg, states, tables, canvas)
-            canvas = composite_entities(
+            canvas = _composite(
                 gd, cfg, states, tables, records, kmax, canvas, "nonneg"
             )
         else:
             canvas = grid_pass(gd, cfg, states, tables, canvas)
-            canvas = composite_entities(
+            canvas = _composite(
                 gd, cfg, states, tables, records, kmax, canvas
             )
     else:
         records, kmax = entity_records(gd, cfg, states, tables, False)
         records = _pad_records(records)
-        canvas = composite_entities(
+        canvas = _composite(
             gd, cfg, states, tables, records, kmax, canvas
         )
 

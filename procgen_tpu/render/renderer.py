@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from procgen_tpu import fmath as fm
 from procgen_tpu import objects as O
 from procgen_tpu.engine import entity_ops as eo
 from procgen_tpu.state import F32, I32, EnvState
@@ -50,9 +51,13 @@ def update_view_params(gd, cfg, state: EnvState) -> EnvState:
         cx = mw * F32(0.5)
         cy = mh * F32(0.5)
         visibility = jnp.maximum(jnp.maximum(mw, mh), state.min_visibility)
-    raw_unit = 64 / visibility
+    # raw_unit = 64 / visibility is a FLOAT division (bag.cpp:831); XLA's
+    # reciprocal-based f32 div is 1 ulp off IEEE, so parity divides in f64.
+    raw_unit = fm.fdiv(cfg, F32(64.0), visibility)
     unit = raw_unit  # rect_height == 64
-    view_dim = 64.0 / raw_unit
+    # view_dim = 64.0 / raw_unit is a DOUBLE division narrowed on assignment
+    # (the 64.0 literal, bag.cpp:834)
+    view_dim = fm.fdiv(cfg, F32(64.0), raw_unit)
     x_off = unit * (cx - view_dim / 2)
     y_off = unit * (cy - view_dim / 2)
     return state.replace(

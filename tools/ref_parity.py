@@ -46,9 +46,13 @@ class RefRollout:
 
 def build_refdump():
     src = os.path.join(REPO, "native", "refharness")
-    if not os.path.exists(REFDUMP) or os.path.getmtime(REFDUMP) < os.path.getmtime(
-        os.path.join(src, "dump.cpp")
-    ):
+    dep_mtime = max(
+        os.path.getmtime(os.path.join(dirpath, f))
+        for dirpath, _, files in os.walk(src)
+        for f in files
+        if f.endswith((".cpp", ".h"))
+    )
+    if not os.path.exists(REFDUMP) or os.path.getmtime(REFDUMP) < dep_mtime:
         cmd = (
             f"g++ -O2 -std=c++17 -w -I{src} -I{src}/qtstub "
             f"-I/root/reference/procgen/src {src}/dump.cpp "
