@@ -59,7 +59,8 @@ def _premul_atlas(var_mips: np.ndarray) -> np.ndarray:
 
 def _kernel(rec_ref, tex_ref, cv_ref, out_ref, *, cap: int, R: int):
     BN = cv_ref.shape[0]
-    px = jax.lax.broadcasted_iota(F32, (BN, RES), 1) + 0.5  # (BN, 64)
+    # Mosaic's tpu.iota is integer-only; build f32 pixel centers via a cast
+    px = jax.lax.broadcasted_iota(I32, (BN, RES), 1).astype(F32) + 0.5  # (BN, 64)
     iota_y_R = jax.lax.broadcasted_iota(I32, (BN, RES, R), 2)
     iota_x_R = jax.lax.broadcasted_iota(I32, (BN, R, RES), 1)
 
@@ -111,11 +112,14 @@ def _kernel(rec_ref, tex_ref, cv_ref, out_ref, *, cap: int, R: int):
 
 @functools.lru_cache(maxsize=None)
 def _build_call(cap: int, R: int, BN: int, N: int):
+    import os
+
     kern = functools.partial(_kernel, cap=cap, R=R)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((N, 3, RES, RES), jnp.float32),
         grid=(N // BN,),
+        interpret=bool(os.environ.get("PROCGEN_TPU_PALLAS_INTERPRET")),
         in_specs=[
             pl.BlockSpec((BN, cap, len(_RF)), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
