@@ -78,35 +78,63 @@ def slots_onehot(capacity: int, idxs):
 
 
 def read_slots(ents: EntityTable, idxs, names):
-    """Fields of slots ``idxs`` (M,) as {name: (M,)} via one-hot dots.
-    Exact: one product per output; ints <= 2^24 and floats are exact in the
-    f32 dot because exactly one one-hot lane is nonzero."""
-    oh = slots_onehot(ents.capacity, idxs).astype(jnp.float32)
+    """Fields of slots ``idxs`` (M,) as {name: (M,)} via one-hot selects.
+
+    BIT-exact: floats move as their i32 bit patterns (masked select + integer
+    sum, exactly one nonzero lane), so IEEE signed zeros survive.  A float
+    one-hot DOT here would turn -0.0 into +0.0 (1*(-0.0) + 0*x sums to +0.0)
+    -- and the reference really does hold -0.0 in agent vx/vy after a fully
+    blocked step (obj->vy *= vy_pct with vy_pct == 0, bag.cpp:654-655)."""
+    oh = slots_onehot(ents.capacity, idxs)  # (M, E) bool
     out = {}
     for n in names:
         f = getattr(ents, n)
-        v = oh @ f.astype(jnp.float32)
         if f.dtype == jnp.bool_:
-            out[n] = v > 0.5
-        else:
-            out[n] = v.astype(f.dtype)
+            out[n] = jnp.any(oh & f[None, :], axis=1)
+            continue
+        bits = (
+            jax.lax.bitcast_convert_type(f, jnp.int32)
+            if f.dtype == jnp.float32
+            else f
+        )
+        # dtype pinned: under x64 (parity mode) jnp.sum would promote to
+        # int64 and the bitcast back would grow a trailing axis
+        g = jnp.sum(jnp.where(oh, bits[None, :], 0), axis=1, dtype=jnp.int32)
+        out[n] = (
+            jax.lax.bitcast_convert_type(g, jnp.float32)
+            if f.dtype == jnp.float32
+            else g.astype(f.dtype)
+        )
     return out
 
 
 def write_slots_masked(ents: EntityTable, idxs, mask, **updates) -> EntityTable:
     """Write (M,)-shaped ``updates`` into slots ``idxs`` where ``mask`` (M,)
-    holds, via one-hot scatter (idxs must be distinct)."""
+    holds (idxs must be distinct).  Bit-exact one-hot scatter: floats move
+    as i32 bit patterns so -0.0 survives (see read_slots)."""
     oh = slots_onehot(ents.capacity, idxs) & mask[:, None]  # (M, E)
     sel = jnp.any(oh, axis=0)  # (E,)
-    ohf = oh.astype(jnp.float32)
     new = {}
     for name, val in updates.items():
         arr = getattr(ents, name)
-        scat = jnp.asarray(val).astype(jnp.float32) @ ohf  # (E,)
+        val = jnp.asarray(val)
         if arr.dtype == jnp.bool_:
-            scat = scat > 0.5
+            scat = jnp.any(oh & val.astype(jnp.bool_)[:, None], axis=0)
         else:
-            scat = scat.astype(arr.dtype)
+            val = val.astype(arr.dtype)
+            bits = (
+                jax.lax.bitcast_convert_type(val, jnp.int32)
+                if arr.dtype == jnp.float32
+                else val
+            )
+            scat = jnp.sum(
+                jnp.where(oh, bits[:, None], 0), axis=0, dtype=jnp.int32
+            )
+            scat = (
+                jax.lax.bitcast_convert_type(scat, jnp.float32)
+                if arr.dtype == jnp.float32
+                else scat.astype(arr.dtype)
+            )
         new[name] = jnp.where(sel, scat, arr)
     return ents.replace(**new)
 

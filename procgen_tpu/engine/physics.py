@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from procgen_tpu import fmath as fm
 from procgen_tpu import objects as O
 from procgen_tpu.engine import entity_ops as eo
 from procgen_tpu.state import F32, I32, EnvState
@@ -201,8 +202,8 @@ def sub_step(gd, cfg, state: EnvState, idxs, _vx, _vy, active):
         blk = eo.read_slots(ents, mc, ("x", "y", "rx", "ry"))
         rsx = blk["rx"] + obj["rx"]
         rsy = blk["ry"] + obj["ry"]
-        push_dx = blk["x"] + jnp.sign(nx - blk["x"]) * rsx - nx
-        push_dy = blk["y"] + jnp.sign(ny - blk["y"]) * rsy - ny
+        push_dx = blk["x"] + fm.fsign(nx - blk["x"]) * rsx - nx
+        push_dy = blk["y"] + fm.fsign(ny - blk["y"]) * rsy - ny
         pxp = nx + jnp.where(is_horizontal, push_dx, 0.0)
         pyp = ny + jnp.where(is_horizontal, 0.0, push_dy)
         cpx = pxp[None, :] + obj["rx"][None, :] * SUB_STEP_MARGIN * di
@@ -286,8 +287,8 @@ def sub_step(gd, cfg, state: EnvState, idxs, _vx, _vy, active):
             if gd.uses_entity_push:
                 # push_obj (bag.cpp:240-268): clamp along the move axis and
                 # zero the velocity component; depth >= 2 recursion elided.
-                push_dx = b["x"] + jnp.sign(nx - b["x"]) * rsx - nx
-                push_dy = b["y"] + jnp.sign(ny - b["y"]) * rsy - ny
+                push_dx = b["x"] + fm.fsign(nx - b["x"]) * rsx - nx
+                push_dy = b["y"] + fm.fsign(ny - b["y"]) * rsy - ny
                 pxp = nx + jnp.where(is_horizontal, push_dx, 0.0)
                 pyp = ny + jnp.where(is_horizontal, 0.0, push_dy)
                 cpx = pxp[None, :] + obj["rx"][None, :] * SUB_STEP_MARGIN * di

@@ -82,3 +82,32 @@ def dmuladd(cfg, a, c, b):
         b64 = jnp.asarray(b, F32).astype(jnp.float64)
         return (b64 + float(c) * a64).astype(F32)
     return F32(b) + F32(c) * jnp.asarray(a, F32)
+
+
+def fsign(x):
+    """cpp-utils.h:42-44 ``sign()``: +1 / 0 / -1, where the 0 branch covers
+    BOTH IEEE zeros and returns +0.0.  ``jnp.sign`` instead propagates -0.0,
+    which diverges from the reference whenever sign() feeds a float chain
+    (chaser's velocity re-normalization, chaser.cpp:85-86)."""
+    return jnp.where(
+        x > 0, jnp.float32(1.0), jnp.where(x == 0, jnp.float32(0.0), jnp.float32(-1.0))
+    )
+
+
+def face_rotation(cfg, dx, dy, offset=0.0):
+    """Entity::face_direction (entity.cpp:84-88):
+
+        rotation = -1 * atan2(dy, dx) + rotation_offset
+
+    ``atan2`` is the double overload (float args promote), the negation and
+    offset-add stay double, and the result narrows on assignment to the
+    float ``rotation`` member.  ``offset`` is the f32 parameter value.  The
+    caller must apply the "only when dx != 0 or dy != 0" guard."""
+    off = F32(offset)
+    if cfg.parity_mode:
+        r = -jnp.arctan2(
+            jnp.asarray(dy, F32).astype(jnp.float64),
+            jnp.asarray(dx, F32).astype(jnp.float64),
+        ) + off.astype(jnp.float64)
+        return r.astype(F32)
+    return -jnp.arctan2(jnp.asarray(dy, F32), jnp.asarray(dx, F32)) + off

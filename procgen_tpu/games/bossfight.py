@@ -181,8 +181,11 @@ class Bossfight(GameDef):
         boss = eo.make_entity(mw / 2, mh / 2, 0.0, 0.0, BOSS_R, boss_ry, BOSS)
         boss["image_theme"] = boss_theme
         ents, _ = eo.append_entity(state.ents, boss, active=True)
+        # "1.2 * boss->ry" promotes to double and narrows on the Entity ctor
+        # float param (bossfight.cpp:217); 1.2*BOSS_R is host-side f64 math
         shields = eo.make_entity(
-            mw / 2, mh / 2, 0.0, 0.0, 1.2 * BOSS_R, 1.2 * boss_ry, SHIELDS
+            mw / 2, mh / 2, 0.0, 0.0, 1.2 * BOSS_R,
+            fm.dmul(cfg, boss_ry, 1.2), SHIELDS,
         )
         ents, _ = eo.append_entity(ents, shields, active=True)
         state = state.replace(ents=ents)

@@ -329,7 +329,7 @@ class CaveFlyer(GameDef):
         moving = (ents.vx != 0) | (ents.vy != 0)
         rot = jnp.where(
             is_enemy & moving,
-            jnp.arctan2(ents.vy, ents.vx) - F32(PI / 2),
+            fm.face_rotation(cfg, ents.vx, ents.vy, -float(np.float32(PI)) / 2),
             ents.rotation,
         )
         ents = ents.replace(rotation=rot)

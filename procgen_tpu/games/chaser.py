@@ -118,8 +118,10 @@ class ChaserGame(GameDef):
             state.action_vy != 0, state.maxspeed * state.action_vy,
             ents.vy[eo.AGENT],
         )
-        vx = jnp.sign(vx) * state.maxspeed
-        vy = jnp.sign(vy) * state.maxspeed
+        # cpp-utils sign() maps BOTH IEEE zeros to +0.0 (vx may hold -0.0
+        # after a fully-blocked step, bag.cpp:654-655)
+        vx = fm.fsign(vx) * state.maxspeed
+        vy = fm.fsign(vy) * state.maxspeed
         return state.replace(ents=eo.write_slot(ents, eo.AGENT, vx=vx, vy=vy))
 
     def _can_eat(self, state):
@@ -292,8 +294,8 @@ class ChaserGame(GameDef):
         acx = ents.x[eo.AGENT].astype(I32)
         acy = ents.y[eo.AGENT].astype(I32)
 
-        pvx = (x - jnp.sign(ents.vx)).astype(I32)
-        pvy = (y - jnp.sign(ents.vy)).astype(I32)
+        pvx = (x - fm.fsign(ents.vx)).astype(I32)
+        pvy = (y - fm.fsign(ents.vy)).astype(I32)
         prev_ok = (pvx >= 0) & (pvx < md) & (pvy >= 0) & (pvy < md)
 
         # neighbors in get_adjacent push order: left, up, down, right

@@ -326,7 +326,7 @@ class Dodgeball(GameDef):
             rs, ents = carry
             is_enemy = ents.alive[i] & (ents.type[i] == ENEMY)
             rs, vx, vy, spawn_t = self._choose_vel(rs, is_enemy)
-            rot = jnp.arctan2(vy, vx)  # face_direction; v is never 0 here
+            rot = fm.face_rotation(cfg, vx, vy)  # face_direction; v != 0 here
             ents = eo.write_slot_masked(
                 ents, i, is_enemy,
                 image_theme=enemy_theme, health=F32(1.0),
@@ -429,7 +429,7 @@ class Dodgeball(GameDef):
         vy = (state.last_move_action % 3 - 1).astype(F32)
         moving = (vx != 0) | (vy != 0)
         rot = jnp.where(
-            moving, jnp.arctan2(vy, vx), state.ents.rotation[eo.AGENT]
+            moving, fm.face_rotation(cfg, vx, vy), state.ents.rotation[eo.AGENT]
         )
         ents = eo.write_slot(state.ents, eo.AGENT, rotation=rot)
 
@@ -497,7 +497,7 @@ class Dodgeball(GameDef):
             )
             rot = jnp.where(
                 is_enemy & ((evx != 0) | (evy != 0)),
-                jnp.arctan2(evy, evx), ents.rotation[i],
+                fm.face_rotation(cfg, evx, evy), ents.rotation[i],
             )
             ents = eo.write_slot_masked(
                 ents, i, is_enemy,

@@ -244,8 +244,12 @@ class HeistGame(GameDef):
         ring_key_r = F32(0.03)
         for i in range(3):
             active = i < num_keys
+            # "1 - ring_key_r * (2*i + 1.25)" is double math narrowed on the
+            # ctor float param (heist.cpp:194); i is static, so fold on host
+            rx = float(np.float32(0.03))
             fields = eo.make_entity(
-                1 - ring_key_r * (2 * i + 1.25), ring_key_r * 0.75,
+                np.float32(1.0 - rx * (2 * i + 1.25)),
+                np.float32(rx * 0.75),
                 0.0, 0.0, ring_key_r, ring_key_r, KEY_ON_RING,
             )
             fields["image_theme"] = jnp.asarray(i, I32)
@@ -313,7 +317,7 @@ class HeistGame(GameDef):
         avx, avy = state.action_vx, state.action_vy
         moving = (avx != 0) | (avy != 0)
         rot = jnp.where(
-            moving, -jnp.arctan2(avy, avx), state.ents.rotation[eo.AGENT]
+            moving, fm.face_rotation(cfg, avx, avy), state.ents.rotation[eo.AGENT]
         )
         return state.replace(
             ents=eo.write_slot(state.ents, eo.AGENT, rotation=rot)

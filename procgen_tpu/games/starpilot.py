@@ -441,11 +441,20 @@ class StarPilot(GameDef):
             for k, v in eo.make_entity(0, 0, 0, 0, 0, 0, BULLET2).items()
         }
         brx = jnp.asarray(self.hp_bullet_r)[jnp.clip(t, 0, NUM_BASIC_OBJECTS - 1)]
+        bvx_s = b_vx * bvs
+        bvy_s = b_vy * bvs
+        # face_direction(b_vx, b_vy, -1*PI/2) on the SCALED components
+        # (starpilot.cpp:384-389); no-op guard keeps the ctor's 0 rotation
+        brot = jnp.where(
+            (bvx_s != 0) | (bvy_s != 0),
+            fm.face_rotation(cfg, bvx_s, bvy_s, -float(np.float32(PI)) / 2),
+            F32(0.0),
+        )
         bfields = dict(
             bfields,
-            x=ents.x, y=ents.y, vx=b_vx * bvs, vy=b_vy * bvs,
+            x=ents.x, y=ents.y, vx=bvx_s, vy=bvy_s,
             rx=brx, ry=brx, type=btype, image_type=btype,
-            rotation=jnp.arctan2(b_vy * bvs, b_vx * bvs) - F32(PI / 2),
+            rotation=brot,
         )
         ents = eo.append_entities_masked(ents, bfields, fire, descending=True)
 
@@ -496,7 +505,9 @@ class StarPilot(GameDef):
             BULLET_PLAYER,
         )
         pb["collides_with_entities"] = jnp.asarray(True)
-        pb["rotation"] = jnp.arctan2(vy, vx) - F32(PI / 2)
+        # face_direction(vx, vy) then "rotation -= PI / 2" as a separate f32
+        # subtract (starpilot.cpp:417-418); vx is never 0 here
+        pb["rotation"] = fm.face_rotation(cfg, vx, vy) - F32(PI) / 2
         ents, _ = eo.append_entity(state.ents, pb, active=firing)
         state = state.replace(ents=ents)
 

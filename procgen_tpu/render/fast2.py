@@ -426,7 +426,7 @@ def entity_records(gd, cfg, states, tables, z_split: bool):
             1.0,
         )
 
-    ok = ents.alive & draw_mask & (slot >= 0)
+    ok = ents.alive & draw_mask & (base >= 0)
     var = slot * A + bin_eff.astype(F32)
     alpha = jnp.ones_like(ents.alpha) if mono else ents.alpha
     refl = (

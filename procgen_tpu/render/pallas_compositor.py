@@ -48,15 +48,6 @@ _RF = dict(
 )
 
 
-def _premul_atlas(var_mips: np.ndarray) -> np.ndarray:
-    """(NV, R, R, 4) u8 -> planar premultiplied (NV, 4, R, R) f32 in 0..255
-    rgb x a units: rgb plane = rgb * a/255, alpha plane = a/255."""
-    v = var_mips.astype(np.float32)
-    a = v[..., 3:4] / 255.0
-    planar = np.concatenate([v[..., :3] * a, a], axis=-1)  # (NV, R, R, 4)
-    return np.ascontiguousarray(planar.transpose(0, 3, 1, 2))  # (NV, 4, R, R)
-
-
 def _kernel(rec_ref, tex_ref, cv_ref, out_ref, *, cap: int, R: int):
     BN = cv_ref.shape[0]
     # Mosaic's tpu.iota is integer-only; build f32 pixel centers via a cast
@@ -83,13 +74,23 @@ def _kernel(rec_ref, tex_ref, cv_ref, out_ref, *, cap: int, R: int):
         sv = jnp.clip((jnp.clip(v, 0.0, 0.9999) * R).astype(I32), 0, R - 1)
         su = jnp.where((g("refl") > 0)[:, None], R - 1 - su, su)
 
+        # Mosaic cannot reshape i1 vectors across the minor dim
+        # ("tpu.reshape (BN,64)xi1 -> (BN,64,1)xi1" rejected on v5e), so the
+        # bool masks are widened to f32 (32-bit broadcasts are supported)
+        # and folded in by multiplication -- exact, 0/1 values only.
+        m_y = jnp.where(in_y & (ok[:, None]), F32(1), F32(0))  # (BN, 64)
+        m_x = jnp.where(in_x, F32(1), F32(0))  # (BN, 64)
         ohy = (
-            (iota_y_R == sv[:, :, None]) & in_y[:, :, None] & ok[:, None, None]
+            (iota_y_R == sv[:, :, None]).astype(F32) * m_y[:, :, None]
         ).astype(BF16)  # (BN, 64, R)
-        ohx = ((iota_x_R == su[:, None, :]) & in_x[:, None, :]).astype(BF16)
-        # (BN, R, 64)
+        ohx = (
+            (iota_x_R == su[:, None, :]).astype(F32) * m_x[:, None, :]
+        ).astype(BF16)  # (BN, R, 64)
 
-        alpha = g("alpha")[:, None, None]
+        # The texture block arrives premultiplied by BOTH atlas alpha and the
+        # entity's own alpha (see _select_textures) -- exactly the einsum
+        # path's tex_p -- so the blend is a pure fma with no per-entity
+        # scalar broadcast (Mosaic rejects (BN,1,1)->(BN,64,64) broadcasts).
         sprs = []
         for c in range(4):
             tc = tex_ref[:, k, c]  # (BN, R, R) bf16
@@ -102,9 +103,9 @@ def _kernel(rec_ref, tex_ref, cv_ref, out_ref, *, cap: int, R: int):
                 preferred_element_type=F32,
             )  # (BN, 64, 64)
             sprs.append(spr)
-        a = sprs[3] * alpha
+        a = sprs[3]
         for c in range(3):
-            cv[c] = sprs[c] * alpha + cv[c] * (1 - a)
+            cv[c] = sprs[c] + cv[c] * (1 - a)
 
     for c in range(3):
         out_ref[:, c] = cv[c]
@@ -136,22 +137,28 @@ def _build_call(cap: int, R: int, BN: int, N: int):
     )
 
 
-def _select_textures(recs, atlas_planar_flat, NV, R):
-    """One-hot select premultiplied planar textures per (env, slot).
+def _select_textures(recs, atlas_flat, NV, R):
+    """One-hot select + premultiply textures per (env, slot).
 
-    recs: (N, CAP, F); atlas_planar_flat: (NV, 4*R*R) bf16.
-    Returns (N, CAP, 4, R, R) bf16."""
+    recs: (N, CAP, F); atlas_flat: (NV, R*R*4) bf16 RAW texels (0..255,
+    layout [sv, su, c] like fast2's var_flat -- bf16-exact).  Premultiplies
+    atlas alpha AND the entity alpha in f32 then rounds to bf16, which is
+    bit-for-bit the einsum path's ``tex_p`` (fast2.composite_entities).
+    Returns planar (N, CAP, 4, R, R) bf16."""
     N, CAP, _ = recs.shape
     var = recs[:, :, _RF["var"]]
     ok = recs[:, :, _RF["ok"]] > 0
+    alpha = recs[:, :, _RF["alpha"]]
     oh = (
         (var[..., None] == jnp.arange(NV, dtype=F32)[None, None, :]) & ok[..., None]
     ).astype(BF16)
     tex = jnp.einsum(
-        "nkv,vf->nkf", oh, atlas_planar_flat,
-        preferred_element_type=jnp.bfloat16,
-    )
-    return tex.reshape(N, CAP, 4, R, R)
+        "nkv,vf->nkf", oh, atlas_flat,
+        preferred_element_type=jnp.float32,
+    ).reshape(N, CAP, R, R, 4)
+    a_tex = tex[..., 3:4] * (alpha / 255.0)[:, :, None, None, None]
+    tex_p = jnp.concatenate([tex[..., :3] * a_tex, a_tex], axis=-1)
+    return tex_p.transpose(0, 1, 4, 2, 3).astype(BF16)
 
 
 def composite_entities_pallas(
@@ -173,14 +180,10 @@ def composite_entities_pallas(
             jnp.where(keep, ok, 0.0)
         )
 
-    atlas = getattr(tables, "_premul_flat", None)
-    if atlas is None:
-        planar = _premul_atlas(
-            tables.var_flat.reshape(tables.NV, R, R, 4)
-        )
-        atlas = planar.reshape(tables.NV, 4 * R * R)
-        tables._premul_flat = atlas
-    atlas_bf = jnp.asarray(atlas, jnp.bfloat16)
+    # raw texels (<= 255) are bf16-exact; premultiplication happens per
+    # (env, slot) in _select_textures so entity alpha rounds identically
+    # to the einsum path
+    atlas_bf = jnp.asarray(tables.var_flat, jnp.bfloat16)
 
     if bn is None:
         bn = 32 if cap >= 16 else 64

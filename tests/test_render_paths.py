@@ -1,19 +1,20 @@
-"""All three renderers must agree pixel-for-pixel.
+"""All three obs renderers must agree pixel-for-pixel, for all 16 games.
 
-The repo carries three compositing paths for the same draw semantics
-(bag.cpp:819-1007 world->screen transform, z-ordered nearest-sampled
-sprite blending):
+The repo carries three implementations of one observation contract (the
+reference's draw pass, bag.cpp:819-1007, under the TPU-native sampling
+semantics specified in render/oracle.py):
 
-* ``renderer.render_env``     -- per-env gather path (the readable oracle)
+* ``oracle.oracle_obs``       -- per-env gather path (the readable spec)
 * ``fast2.render_frames2``    -- batched one-hot-matmul path (XLA einsum)
 * ``pallas_compositor``       -- VMEM-resident TPU kernel (interpret mode
-                                 on CPU so CI covers it)
+                                 on CPU so CI covers it; the hardware run
+                                 is tools/tpu_render_check.py)
 
-A frame produced by any of them must be bit-identical to the others; this
-locks the fast paths to the gather oracle per game (VERDICT r2 item 8).
+A frame produced by any of them must be bit-identical to the others; the
+static bg+grid bake is cross-checked the same way (oracle_static vs
+fast2.render_static2).  Fast-signal games run in the default suite; the
+rest are @slow (CI's nightly lane).
 """
-
-import os
 
 import jax
 import jax.numpy as jnp
@@ -25,11 +26,19 @@ from procgen_tpu.engine.game import reset_env, step_env
 from procgen_tpu.games import make_game, available_games
 from procgen_tpu.render.pack import RenderPack
 from procgen_tpu.render import fast2
-from procgen_tpu.render.renderer import render_env, update_view_params
+from procgen_tpu.render.oracle import oracle_obs, oracle_static
+from procgen_tpu.render.renderer import update_view_params
 from procgen_tpu import rng as R
 from procgen_tpu.state import init_state_template
 
-FAST_GAMES = ["maze", "bigfish", "chaser", "plunder", "leaper", "miner"]
+# coverage by render-path class: static grid (maze), no grid (bigfish),
+# grid-dynamic + color rects (chaser), grid-dynamic (miner), center-agent
+# (coinrun), dynamic bg + free rotation (starpilot), center + free rotation
+# (caveflyer), HUD overlay (plunder)
+FAST_GAMES = [
+    "maze", "bigfish", "chaser", "miner",
+    "coinrun", "starpilot", "caveflyer", "plunder",
+]
 
 
 def _build_states(env_name, n, seed, steps):
@@ -63,19 +72,26 @@ def _build_states(env_name, n, seed, steps):
     return cfg, gd, pack, states
 
 
-@pytest.mark.parametrize("env_name", FAST_GAMES)
-def test_fast2_matches_gather_and_pallas(env_name, monkeypatch):
-    n = 2
-    cfg, gd, pack, states = _build_states(env_name, n, seed=11, steps=12)
+def _check_game(env_name, monkeypatch, n=2, seed=11, steps=12):
+    cfg, gd, pack, states = _build_states(env_name, n, seed=seed, steps=steps)
 
-    gather = jax.jit(jax.vmap(lambda s: render_env(gd, cfg, s, pack)))(states)
+    # static bake: batched einsum vs per-env gather spec
+    static_oracle = jax.jit(
+        jax.vmap(lambda s: oracle_static(gd, cfg, s, pack))
+    )(states)
+    np.testing.assert_array_equal(
+        np.asarray(static_oracle), np.asarray(states.static_layer),
+        err_msg=f"{env_name}: render_static2 diverges from oracle_static",
+    )
+
+    gather = jax.jit(jax.vmap(lambda s: oracle_obs(gd, cfg, s, pack)))(states)
 
     monkeypatch.setenv("PROCGEN_TPU_NO_PALLAS", "1")
     einsum = jax.jit(lambda ss: fast2.render_frames2(gd, cfg, ss, pack))(states)
 
     np.testing.assert_array_equal(
         np.asarray(gather), np.asarray(einsum),
-        err_msg=f"{env_name}: fast2 einsum diverges from gather oracle",
+        err_msg=f"{env_name}: fast2 einsum diverges from the obs oracle",
     )
 
     # pallas kernel in interpret mode (CPU); force the TPU dispatch branch
@@ -93,17 +109,14 @@ def test_fast2_matches_gather_and_pallas(env_name, monkeypatch):
     )
 
 
+@pytest.mark.parametrize("env_name", FAST_GAMES)
+def test_render_paths_agree(env_name, monkeypatch):
+    _check_game(env_name, monkeypatch)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize(
     "env_name", [g for g in available_games() if g not in FAST_GAMES]
 )
-def test_fast2_matches_gather_all_games(env_name, monkeypatch):
-    n = 2
-    cfg, gd, pack, states = _build_states(env_name, n, seed=11, steps=12)
-    gather = jax.jit(jax.vmap(lambda s: render_env(gd, cfg, s, pack)))(states)
-    monkeypatch.setenv("PROCGEN_TPU_NO_PALLAS", "1")
-    einsum = jax.jit(lambda ss: fast2.render_frames2(gd, cfg, ss, pack))(states)
-    np.testing.assert_array_equal(
-        np.asarray(gather), np.asarray(einsum),
-        err_msg=f"{env_name}: fast2 einsum diverges from gather oracle",
-    )
+def test_render_paths_agree_all_games(env_name, monkeypatch):
+    _check_game(env_name, monkeypatch)
