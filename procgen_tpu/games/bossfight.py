@@ -319,12 +319,16 @@ class Bossfight(GameDef):
             hit_boss = valid[BOSS_SLOT] & ~up
 
             # reflect (bossfight.cpp:135-147)
-            theta_r = PI * (1.25 + 0.5 * ex["rand_pct"])
+            # "PI * (1.25 + .5 * rand_pct)" and the VEL*trig*.5 products are
+            # double chains narrowed at the float stores (bossfight.cpp:137-139)
+            theta_r = fm.narrow(
+                fm.wide(cfg, F32(PI)) * (1.25 + 0.5 * fm.wide(cfg, ex["rand_pct"]))
+            )
             ents = eo.write_slot_masked(
                 ents, i, hit_shield,
                 type=jnp.asarray(REFLECTED_BULLET, I32),
-                vy=F32(PLAYER_BULLET_VEL) * jnp.sin(theta_r) * 0.5,
-                vx=F32(PLAYER_BULLET_VEL) * jnp.cos(theta_r) * 0.5,
+                vy=fm.narrow(F32(PLAYER_BULLET_VEL) * fm.dsin(cfg, theta_r) * 0.5),
+                vx=fm.narrow(F32(PLAYER_BULLET_VEL) * fm.dcos(cfg, theta_r) * 0.5),
                 expire_time=jnp.asarray(4, I32),
                 life_time=jnp.asarray(0, I32),
                 alpha_decay=F32(0.8),
@@ -510,7 +514,9 @@ class Bossfight(GameDef):
         vel = F32(self.boss_bullet_vel)
         for k in range(8):
             b = eo.make_entity(
-                bx, by, vel * jnp.cos(theta[k]), vel * jnp.sin(theta[k]),
+                bx, by,
+                fm.narrow(fm.wide(cfg, vel) * fm.dcos(cfg, theta[k])),
+                fm.narrow(fm.wide(cfg, vel) * fm.dsin(cfg, theta[k])),
                 0.5, 0.5, ENEMY_BULLET,
             )
             b["image_theme"] = extra["boss_laser_theme"]

@@ -182,9 +182,13 @@ class CaveFlyer(GameDef):
         ents = state.ents
         theta = -ents.rotation[eo.AGENT] + F32(PI / 2)
         thrust = acc > 0
+        # "x - rx * cos(theta)": cos/sin are double overloads; the chain is
+        # double, narrowed at the Entity ctor floats (caveflyer.cpp:275)
         ex = eo.make_entity(
-            ents.x[eo.AGENT] - ents.rx[eo.AGENT] * jnp.cos(theta),
-            ents.y[eo.AGENT] - ents.ry[eo.AGENT] * jnp.sin(theta),
+            fm.narrow(fm.wide(cfg, ents.x[eo.AGENT])
+                      - fm.wide(cfg, ents.rx[eo.AGENT]) * fm.dcos(cfg, theta)),
+            fm.narrow(fm.wide(cfg, ents.y[eo.AGENT])
+                      - fm.wide(cfg, ents.ry[eo.AGENT]) * fm.dsin(cfg, theta)),
             0.0, 0.0, 0.5 * ents.rx[eo.AGENT], 0.5 * ents.rx[eo.AGENT],
             EXHAUST,
         )
@@ -194,8 +198,8 @@ class CaveFlyer(GameDef):
         ex["alpha_decay"] = F32(0.8)
         ents, _ = eo.append_entity(ents, ex, active=thrust)
         state = state.replace(ents=ents)
-        avy = acc * jnp.sin(theta)
-        avx = acc * jnp.cos(theta)
+        avy = fm.narrow(fm.wide(cfg, acc) * fm.dsin(cfg, theta))
+        avx = fm.narrow(fm.wide(cfg, acc) * fm.dcos(cfg, theta))
         avrot = (move_action // 3 - 1).astype(F32)
         return avx, avy, avrot, state
 
@@ -317,7 +321,8 @@ class CaveFlyer(GameDef):
         fire = state.special_action == 1
         theta = -ents.rotation[eo.AGENT] + F32(PI / 2)
         b = eo.make_entity(
-            ents.x[eo.AGENT], ents.y[eo.AGENT], jnp.cos(theta), jnp.sin(theta),
+            ents.x[eo.AGENT], ents.y[eo.AGENT],
+            fm.narrow(fm.dcos(cfg, theta)), fm.narrow(fm.dsin(cfg, theta)),
             0.1, 0.25, PLAYER_BULLET,
         )
         b["expire_time"] = jnp.asarray(10, I32)

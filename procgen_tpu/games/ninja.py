@@ -387,8 +387,11 @@ class Ninja(GameDef):
             F32(0.0),
         )
         theta = jnp.where(ents.is_reflected[eo.AGENT], PI - theta, theta)
+        # "bullet_vel * cos(theta)" with bullet_vel = 1: the double trig
+        # narrows at the Entity ctor floats (ninja.cpp:389-405)
         star = eo.make_entity(
-            ents.x[eo.AGENT], ents.y[eo.AGENT], jnp.cos(theta), jnp.sin(theta),
+            ents.x[eo.AGENT], ents.y[eo.AGENT],
+            fm.narrow(fm.dcos(cfg, theta)), fm.narrow(fm.dsin(cfg, theta)),
             0.25, 0.25, THROWING_STAR,
         )
         star["collides_with_entities"] = jnp.asarray(True)

@@ -431,11 +431,16 @@ class StarPilot(GameDef):
         )
         b_vx = ents.x[eo.AGENT] - ents.x
         b_vy = ents.y[eo.AGENT] - ents.y
-        norm = jnp.sqrt(b_vx * b_vx + b_vy * b_vy)
         btype = jnp.where(t == TURRET, BULLET3, BULLET2)
-        bvs = jnp.asarray(self.hp_vs)[jnp.clip(btype, 0, NUM_BASIC_OBJECTS - 1)] * F32(
-            V_SCALE
-        ) / jnp.maximum(norm, 1e-6)
+        # "hp_vs[t] * V_SCALE / sqrt(vx*vx + vy*vy)": f32 numerator divided
+        # by the DOUBLE sqrt, narrowed on the float store (starpilot.cpp:383);
+        # a zero norm divides to inf exactly as the reference would
+        num = jnp.asarray(self.hp_vs)[
+            jnp.clip(btype, 0, NUM_BASIC_OBJECTS - 1)
+        ] * F32(V_SCALE)
+        bvs = fm.narrow(
+            fm.wide(cfg, num) / fm.dsqrt(cfg, b_vx * b_vx + b_vy * b_vy)
+        )
         bfields = {
             k: jnp.broadcast_to(v, (E,))
             for k, v in eo.make_entity(0, 0, 0, 0, 0, 0, BULLET2).items()
@@ -496,9 +501,13 @@ class StarPilot(GameDef):
         firing = state.special_action != 0
         theta = jnp.where(state.special_action == 2, F32(PI), F32(0.0))
         v_scale = self.hp_vs[BULLET_PLAYER] * F32(V_SCALE)
-        vx = jnp.cos(theta) * v_scale
-        vy = jnp.sin(theta) * v_scale
-        x_off = state.ents.rx[eo.AGENT] * jnp.cos(theta)
+        # "cos(theta) * v_scale" etc: double trig chains narrowed at the
+        # float stores (starpilot.cpp:411-413)
+        vx = fm.narrow(fm.dcos(cfg, theta) * fm.wide(cfg, v_scale))
+        vy = fm.narrow(fm.dsin(cfg, theta) * fm.wide(cfg, v_scale))
+        x_off = fm.narrow(
+            fm.wide(cfg, state.ents.rx[eo.AGENT]) * fm.dcos(cfg, theta)
+        )
         pb = eo.make_entity(
             state.ents.x[eo.AGENT] + x_off, state.ents.y[eo.AGENT], vx, vy,
             self.hp_bullet_r[O.PLAYER], self.hp_bullet_r[O.PLAYER],

@@ -75,6 +75,11 @@ class FrameTables:
         self.var_flat = pack.var_mips.reshape(
             pack.var_mips.shape[0], -1
         ).astype(np.float32)
+        # channel-major flattening [sv, c, su]: the entity compositor's
+        # sampling dots keep c out of the minor dim (see composite_entities)
+        self.var_flat_cs = np.ascontiguousarray(
+            pack.var_mips.transpose(0, 1, 3, 2)
+        ).reshape(pack.var_mips.shape[0], -1).astype(np.float32)
         self.NV = int(pack.var_mips.shape[0])
         # rotation-bin cos/sin lookup (A, 2); axis bins exact
         a = np.arange(self.A)
@@ -476,14 +481,22 @@ def composite_entities(
       last, so slots >= kmax never draw);
     * sampling matmul intermediates are bf16 (texels <= 255 are exact in
       bf16's 8-bit mantissa) and alpha is premultiplied into the sampled
-      texel row, halving the per-draw HBM traffic that dominates cost.
+      texel row, halving the per-draw HBM traffic;
+    * BOTH sampling contractions are rank-3 batched dots and the canvas is
+      held as three (N, 64, 64) channel planes inside the draw loop.  The
+      r3 formulation ("nyrc,nrx->nyxc", interleaved canvas) made XLA:TPU
+      rewrite the 2-free-dim dot into a dilated convolution (~2 ms/draw
+      measured, profiled via trace: convolution-base-dilated + relayout
+      copies); the rank-3 form runs the same selection at ~0.03 ms.
+      Channel-major texture rows (var_flat_cs, [sv, c, su]) make the
+      (y, c)-row reshape between the two dots a free leading-dim merge.
     """
     N, E, _ = records.shape
     R = tables.R
     px = jnp.arange(RES, dtype=F32) + 0.5
     iota_R = jnp.arange(R)
 
-    def draw_one(rec, canvas):
+    def draw_one(rec, cv):
         g = lambda f: rec[:, _RF[f]]
         ok = g("ok") > 0
         if z_filter == "neg":
@@ -513,42 +526,46 @@ def composite_entities(
             g("var")[:, None] == jnp.arange(tables.NV, dtype=F32)[None, :]
         )
         tex = jnp.einsum(
-            "nv,vf->nf", oh_var, _bf(tables.var_flat),
+            "nv,vf->nf", oh_var, _bf(tables.var_flat_cs),
             preferred_element_type=jnp.float32,
-        ).reshape(N, R, R, 4)
+        ).reshape(N, R, 4, R)  # [sv, c, su]
         # premultiply alpha (incl. the entity's own alpha) into the texel:
         # spr then carries [rgb * a, a] and the blend is a single fma
-        a_tex = tex[..., 3:4] * (g("alpha") / 255.0)[:, None, None, None]
-        tex_p = jnp.concatenate([tex[..., :3] * a_tex, a_tex], axis=-1)
+        a_tex = tex[:, :, 3:4, :] * (g("alpha") / 255.0)[:, None, None, None]
+        tex_p = jnp.concatenate([tex[:, :, :3, :] * a_tex, a_tex], axis=2)
         tmp = jnp.einsum(
-            "nys,nsf->nyf", ohy, _bf(tex_p.reshape(N, R, R * 4)),
+            "nys,nsf->nyf", ohy, _bf(tex_p.reshape(N, R, 4 * R)),
             preferred_element_type=jnp.bfloat16,
-        ).reshape(N, RES, R, 4)
+        )  # (N, 64, 4*R), lanes [c, su]
         spr = jnp.einsum(
-            "nyrc,nrx->nyxc", tmp, ohx, preferred_element_type=jnp.float32
-        )
-        a = spr[..., 3:]
-        return spr[..., :3] + canvas * (1 - a)
+            "nfr,nrx->nfx", tmp.reshape(N, RES * 4, R), ohx,
+            preferred_element_type=jnp.float32,
+        ).reshape(N, RES, 4, RES)  # rows (y, c)
+        a = spr[:, :, 3, :]
+        one_m_a = 1 - a
+        return [spr[:, :, c, :] + cv[c] * one_m_a for c in range(3)]
 
-    def draw_group(g0, canvas):
+    def draw_group(g0, cv):
         for j in range(group):
             k = g0 + j
             if k < E:
-                canvas = draw_one(records[:, k], canvas)
-        return canvas
+                cv = draw_one(records[:, k], cv)
+        return cv
 
+    cv = [canvas[..., c] for c in range(3)]
     if E <= group:
-        return draw_group(0, canvas)
+        cv = draw_group(0, cv)
+        return jnp.stack(cv, axis=-1)
     n_groups = (E + group - 1) // group
     for gi in range(n_groups):
         g0 = gi * group
-        canvas = jax.lax.cond(
+        cv = jax.lax.cond(
             g0 < kmax,
-            lambda cv, g0=g0: draw_group(g0, cv),
-            lambda cv: cv,
-            canvas,
+            lambda c, g0=g0: draw_group(g0, c),
+            lambda c: c,
+            cv,
         )
-    return canvas
+    return jnp.stack(cv, axis=-1)
 
 
 def _pad_records(records):
@@ -604,11 +621,17 @@ def _paint_hud(gd, cfg, states, out):
 
 
 def _use_pallas() -> bool:
+    """Opt-in: the VMEM Pallas compositor measured SLOWER than the einsum
+    path end-to-end on v5e (maze 8192 envs: 159k vs 261k steps/s, r4 A/B),
+    so einsum is the default everywhere; PROCGEN_TPU_PALLAS=1 selects the
+    kernel (still hardware-validated by tools/tpu_render_check.py)."""
     import os
 
     if os.environ.get("PROCGEN_TPU_NO_PALLAS"):
         return False
-    return jax.default_backend() == "tpu"
+    return bool(os.environ.get("PROCGEN_TPU_PALLAS")) and (
+        jax.default_backend() == "tpu"
+    )
 
 
 def _composite(gd, cfg, states, tables, records, kmax, canvas, z_filter="all"):

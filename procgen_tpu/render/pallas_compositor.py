@@ -1,15 +1,17 @@
 """Pallas TPU sprite compositor: the hot half of the batched renderer.
 
-The XLA einsum compositor (fast2.composite_entities) is HBM-bound: every
-draw call materializes two full-frame matmul intermediates plus a canvas
-read-modify-write (~1.5 GB per draw at num_envs=8192, measured ~1.6 ms/draw
-on v5e).  This kernel keeps the canvas and all sampling intermediates in
-VMEM: per entity it builds the nearest-sample one-hot matrices on the VPU
-and runs the two sampling contractions as env-batched MXU matmuls
-(Mosaic's ``tpu.matmul`` with a leading batch dim), blending in registers.
-HBM traffic per step is one canvas read + one write + the per-entity
-texture block -- measured ~40x faster than the einsum path on the
-8-draw/8192-env probe, bit-identical output.
+Design: the XLA einsum compositor (fast2.composite_entities) materializes
+full-frame matmul intermediates per draw; this kernel instead keeps the
+canvas and sampling intermediates in VMEM, building nearest-sample one-hot
+matrices on the VPU and running the two sampling contractions as
+env-batched MXU matmuls, blending in registers.
+
+MEASURED (r4, v5e, maze 8192 envs, end-to-end steps/s): einsum 261k,
+this kernel 159k -- the per-chunk HBM texture-select intermediate plus
+small per-block matmul shapes lose to XLA's fused einsum pipeline, so the
+kernel is OPT-IN (PROCGEN_TPU_PALLAS=1; see fast2._use_pallas).  Output is
+bit-identical to the einsum path (tests/test_render_paths.py on CPU
+interpret mode, tools/tpu_render_check.py on hardware).
 
 Layout: the kernel works on a PLANAR canvas (N, 4, 64, 64) f32 (rgb + a
 scratch plane); interleaved (N, 64, 64, 3) frames are transposed at entry

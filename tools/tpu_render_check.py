@@ -70,9 +70,9 @@ else:  # "pallas" or "einsum" -- selected by PROCGEN_TPU_NO_PALLAS
 np.save(os.environ["CHECK_OUT"], np.asarray(frames))
 """
     runs = [
-        ("pallas", {}),
-        ("einsum", {"PROCGEN_TPU_NO_PALLAS": "1"}),
-        ("oracle", {"PROCGEN_TPU_NO_PALLAS": "1"}),
+        ("pallas", {"PROCGEN_TPU_PALLAS": "1"}),
+        ("einsum", {}),
+        ("oracle", {}),
     ]
     outs = {}
     for name, extra in runs:
