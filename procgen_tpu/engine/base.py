@@ -339,10 +339,14 @@ def base_game_reset(gd: GameDef, cfg, state: EnvState, rs):
     # entities.clear(); agent spawn (bag.cpp:775-793)
     a_r = F32(0.4)
     if gd.random_agent_start:
+        from procgen_tpu import fmath as fm
+
         rs, u1 = R.rs_rand01(rs)
         rs, u2 = R.rs_rand01(rs)
-        ax = u1 * (state.main_width.astype(F32) - 2 * a_r) + a_r
-        ay = u2 * (state.main_height.astype(F32) - 2 * a_r) + a_r
+        # "rand01() * (main_width - 2 * a_r) + a_r" with separate f32
+        # roundings -- no FMA contraction (bag.cpp:781-782, ivybridge)
+        ax = fm.fmuladd32(cfg, u1, state.main_width.astype(F32) - 2 * a_r, a_r)
+        ay = fm.fmuladd32(cfg, u2, state.main_height.astype(F32) - 2 * a_r, a_r)
     else:
         ax = a_r
         ay = a_r
@@ -406,8 +410,15 @@ def base_game_step(gd: GameDef, cfg, state: EnvState) -> EnvState:
     new_vx = jnp.where(gs, avx, cont_state.ents.vx[eo.AGENT])
     new_vy = jnp.where(gs, avy, cont_state.ents.vy[eo.AGENT])
     new_vrot = jnp.where(gs, state.ents.vrot[eo.AGENT], cont_vrot)
-    state = state.replace(
-        ents=eo.write_slot(state.ents, eo.AGENT, vx=new_vx, vy=new_vy, vrot=new_vrot)
+    # carry cont_state forward: update_agent_velocity overrides may have
+    # side effects beyond vx/vy (ninja's jump_charge release ninja.cpp:112-115,
+    # leaper's hop animation theme/rotation leaper.cpp:225-240); only the
+    # grid-step games (maze/miner) skip update_agent_velocity in the
+    # reference, and their default override is side-effect-free
+    state = cont_state.replace(
+        ents=eo.write_slot(
+            cont_state.ents, eo.AGENT, vx=new_vx, vy=new_vy, vrot=new_vrot
+        )
     )
 
     state = ph.step_entities(gd, cfg, state)

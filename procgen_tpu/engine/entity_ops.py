@@ -249,8 +249,12 @@ def rand_pos(rs, r, lo, hi, active=True):
     draw_active = jnp.logical_and(jnp.asarray(active), ~tight)
     rs, u = R.rs_rand01(rs, active=draw_active)
     # (range - 2r) * u + r + lo rounds left-to-right in f32 (bag.cpp:1107);
-    # the barrier stops XLA reassociating the trailing "+ r + lo" constants
-    loose_val = jax.lax.optimization_barrier((hi - lo - 2 * r) * u + r) + lo
+    # keeping a second live use of the product stops LLVM contracting the
+    # mul+add into an FMA (the reference targets ivybridge: no FMA), and
+    # the barrier stops XLA reassociating the trailing "+ r + lo"
+    prod = (hi - lo - 2 * r) * u
+    pinned = jnp.where(u != F32(2.0), prod + r, prod)
+    loose_val = jax.lax.optimization_barrier(pinned) + lo
     return rs, jnp.where(tight, (hi + lo) / 2, loose_val)
 
 

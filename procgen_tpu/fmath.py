@@ -84,6 +84,43 @@ def dmuladd(cfg, a, c, b):
     return F32(b) + F32(c) * jnp.asarray(a, F32)
 
 
+def fmuladd32(cfg, r, scale, off):
+    """``r * scale + off`` with SEPARATE f32 roundings.
+
+    The reference is compiled for ivybridge (no FMA), so the multiply and
+    the add round separately; XLA's CPU backend contracts a single-use f32
+    mul+add into fmuladd.  In parity mode the add runs in f64 and narrows:
+    for two f32 operands that is exactly the correctly-rounded f32 add (one
+    rounding from exact operands), and a mixed-precision mul+add cannot be
+    contracted.  Plain f32 on the fast path."""
+    r = jnp.asarray(r, F32)
+    prod = r * jnp.asarray(scale, F32)
+    off = jnp.asarray(off, F32)
+    if cfg.parity_mode:
+        # the barrier pins the f32 rounding of the product: without it XLA
+        # hoists the f64 converts through the multiply (measured: bossfight
+        # barrier x came out fused, 1 ulp off the reference)
+        prod = jax.lax.optimization_barrier(prod)
+        return (
+            prod.astype(jnp.float64) + off.astype(jnp.float64)
+        ).astype(F32)
+    return prod + off
+
+
+def fadd32(cfg, a, b):
+    """``a + b`` where both operands are f32 products whose roundings must
+    be pinned (no FMA contraction of either multiply into the add).  The
+    barriers stop XLA folding the converts through the products; the f64
+    add narrowed is exactly the IEEE f32 add.  Plain add on the fast path."""
+    a = jnp.asarray(a, F32)
+    b = jnp.asarray(b, F32)
+    if cfg.parity_mode:
+        a = jax.lax.optimization_barrier(a)
+        b = jax.lax.optimization_barrier(b)
+        return (a.astype(jnp.float64) + b.astype(jnp.float64)).astype(F32)
+    return a + b
+
+
 def fsign(x):
     """cpp-utils.h:42-44 ``sign()``: +1 / 0 / -1, where the 0 branch covers
     BOTH IEEE zeros and returns +0.0.  ``jnp.sign`` instead propagates -0.0,
@@ -99,18 +136,114 @@ def face_rotation(cfg, dx, dy, offset=0.0):
 
         rotation = -1 * atan2(dy, dx) + rotation_offset
 
-    ``atan2`` is the double overload (float args promote), the negation and
-    offset-add stay double, and the result narrows on assignment to the
-    float ``rotation`` member.  ``offset`` is the f32 parameter value.  The
-    caller must apply the "only when dx != 0 or dy != 0" guard."""
+    ``atan2`` resolves to the FLOAT overload (entity.cpp includes <math.h>,
+    which in C++ provides the float overloads), so the whole chain is f32:
+    atan2f, f32 negate, f32 add.  ``offset`` is the f32 parameter value.
+    The caller must apply the "only when dx != 0 or dy != 0" guard."""
     off = F32(offset)
     if cfg.parity_mode:
-        r = -jnp.arctan2(
-            jnp.asarray(dy, F32).astype(jnp.float64),
-            jnp.asarray(dx, F32).astype(jnp.float64),
-        ) + off.astype(jnp.float64)
-        return r.astype(F32)
-    return -jnp.arctan2(jnp.asarray(dy, F32), jnp.asarray(dx, F32)) + off
+        # IEEE "+ 0.0" turns a -0.0 atan2 result into +0.0 (the reference
+        # stores +0.0); XLA's simplifier folds add-of-literal-zero away,
+        # which would leak the -0.0 -- pin the constant behind a barrier.
+        off = jax.lax.optimization_barrier(off)
+    return -atan2f(cfg, dy, dx) + off
+
+
+_LIBM = None
+
+
+def _libm():
+    """The host C library's libm — the exact float-precision functions the
+    reference binary links against.  The reference's C++ TUs include
+    <math.h>/<cmath>, so ``atan2(float, float)`` / ``cos(float)`` resolve to
+    the FLOAT overloads (atan2f/cosf/sinf).  glibc's float trig is NOT the
+    correctly-rounded narrow-of-double (measured on glibc 2.36: atan2f
+    differs from float(atan2(double)) on ~16% of inputs), so bit-parity
+    requires calling the very same libm the refdump binary used."""
+    global _LIBM
+    if _LIBM is None:
+        import ctypes
+
+        lib = ctypes.CDLL("libm.so.6")
+        for name in ("sinf", "cosf", "atan2f"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_float
+            fn.argtypes = [ctypes.c_float] * (2 if name == "atan2f" else 1)
+        _LIBM = lib
+    return _LIBM
+
+
+def _np_unary_libm(name):
+    import ctypes
+
+    import numpy as np
+
+    def run(x):
+        lib = _libm()
+        fn = getattr(lib, name)
+        x = np.asarray(x, np.float32)
+        out = np.empty(x.shape, np.float32)
+        of, xf = out.ravel(), x.ravel()
+        for i in range(xf.size):
+            of[i] = fn(ctypes.c_float(float(xf[i])))
+        return out
+
+    return run
+
+
+def _np_atan2f(y, x):
+    import ctypes
+
+    import numpy as np
+
+    lib = _libm()
+    y = np.asarray(y, np.float32)
+    x = np.asarray(x, np.float32)
+    y, x = np.broadcast_arrays(y, x)
+    out = np.empty(y.shape, np.float32)
+    of, yf, xf = out.ravel(), y.ravel(), x.ravel()
+    for i in range(yf.size):
+        of[i] = lib.atan2f(
+            ctypes.c_float(float(yf[i])), ctypes.c_float(float(xf[i]))
+        )
+    return out
+
+
+def _callback(fn, out_like, *args):
+    import jax
+
+    return jax.pure_callback(
+        fn,
+        jax.ShapeDtypeStruct(jnp.shape(out_like), F32),
+        *args,
+        vmap_method="expand_dims",
+    )
+
+
+def cosf(cfg, x):
+    """C++ ``cos(float)`` — the FLOAT overload (glibc cosf), bit-exact via
+    the host libm in parity mode; plain f32 cos on the fast path."""
+    x = jnp.asarray(x, F32)
+    if cfg.parity_mode:
+        return _callback(_np_unary_libm("cosf"), x, x)
+    return jnp.cos(x)
+
+
+def sinf(cfg, x):
+    x = jnp.asarray(x, F32)
+    if cfg.parity_mode:
+        return _callback(_np_unary_libm("sinf"), x, x)
+    return jnp.sin(x)
+
+
+def atan2f(cfg, y, x):
+    """C++ ``atan2(float, float)`` — the FLOAT overload (glibc atan2f)."""
+    y = jnp.asarray(y, F32)
+    x = jnp.asarray(x, F32)
+    out = jnp.broadcast_arrays(y, x)[0]
+    if cfg.parity_mode:
+        return _callback(_np_atan2f, out, y, x)
+    return jnp.arctan2(y, x)
 
 
 def dcos(cfg, x):

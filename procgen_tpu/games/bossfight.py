@@ -40,7 +40,7 @@ MAX_ROUNDS = 5  # num_rounds = 1 + randn(5)
 BOSS_SLOT = 1  # boss/shields appended right after the agent and never erased
 SHIELDS_SLOT = 2
 
-PI = float(np.pi)
+PI = float(np.float32(np.pi))  # the reference's `const float PI` (cpp-utils.h:12)
 
 PLAYER_ASSETS = (
     "misc_assets/playerShip1_blue.png",
@@ -274,13 +274,14 @@ class Bossfight(GameDef):
             active = i < num_barriers
             min_y = 2 * ary_now + barrier_r + 0.5
             rs, uy = R.rs_rand01(rs, active=active)
-            ent_y = uy * (BOTTOM_MARGIN - min_y - barrier_r) + min_y
+            ent_y = fm.fmuladd32(cfg, uy, BOTTOM_MARGIN - min_y - barrier_r, min_y)
             rs, ux = R.rs_rand01(rs, active=active)
-            ent_x = ux * (mw - 2 * barrier_r) + barrier_r
+            ent_x = fm.fmuladd32(cfg, ux, mw - 2 * barrier_r, barrier_r)
             rs, th = R.rs_randn(rs, len(BARRIER_ASSETS), active=active)
             fields = eo.make_entity(
                 ent_x, ent_y, 0.0, 0.0, barrier_r,
-                barrier_r / jnp.asarray(self.barrier_aspects)[th], BARRIER,
+                fm.fdiv(cfg, barrier_r, jnp.asarray(self.barrier_aspects)[th]),
+                BARRIER,
             )
             fields["image_theme"] = th
             fields["health"] = F32(3.0)
@@ -410,7 +411,7 @@ class Bossfight(GameDef):
         ents = eo.append_entities_masked(ents, fields, erase_bullet, descending=False)
         return state.replace(ents=ents)
 
-    def _boss_fire_thetas(self, state):
+    def _boss_fire_thetas(self, cfg, state):
         """One (active, theta) pair per potential bullet slot (<= 8)."""
         ex = state.extra
         ct = state.cur_time
@@ -419,16 +420,27 @@ class Bossfight(GameDef):
         up = ex["shields_are_up"]
         i = jnp.arange(8)
 
-        # attack_mode_0 (bossfight.cpp:271-277)
+        # attack_mode_0 (bossfight.cpp:271-277): "PI * 1.5" promotes to
+        # double; "(i - 2) * PI / 8" stays f32; the sum is double, narrowed
+        # once at the float theta parameter
         a0 = (ct % 8 == 0) & (i < 5)
-        th0 = PI * 1.5 + (i.astype(F32) - 2) * PI / 8
-        # attack_mode_1 (:279-287)
+        th0 = fm.narrow(
+            fm.wide(cfg, (i.astype(F32) - 2) * F32(PI) / 8) + PI * 1.5
+        )
+        # attack_mode_1 (:279-287): "PI * (1.25 + .5 * k / 8.0)" is a double
+        # chain; "i * PI / 2" is f32; one narrowing at the theta parameter
         k1 = jnp.abs(8 - ((ct // 5) % 16))
         a1 = (ct % 5 == 0) & (i < 4)
-        th1 = PI * (1.25 + 0.5 * k1.astype(F32) / 8.0) + i.astype(F32) * PI / 2
-        # attack_mode_2 (:289-299)
+        th1 = fm.narrow(
+            PI * (1.25 + fm.wide(cfg, k1.astype(F32)) / 16.0)
+            + fm.wide(cfg, i.astype(F32) * F32(PI) / 2)
+        )
+        # attack_mode_2 (:289-299): "2*PI/num_bullets*i + offset" is an f32
+        # mul+add; separate roundings (no FMA contraction)
         a2 = (ct % 10 == 0) & (i < 8)
-        th2 = 2 * PI / 8 * i.astype(F32) + ex["rand_pct"] * 2 * PI
+        th2 = fm.fmuladd32(
+            cfg, i.astype(F32), F32(2 * PI / 8), ex["rand_pct"] * 2 * PI
+        )
         # attack_mode_3 (:301-305)
         a3 = (ct % 4 == 0) & (i < 1)
         th3 = jnp.full((8,), PI * (1 + ex["rand_pct"]), F32)
@@ -469,10 +481,12 @@ class Bossfight(GameDef):
 
         # boss waypoint motion + shield swap clock (bossfight.cpp:360-381)
         timeout_hit = extra["curr_vel_timeout"] <= 0
-        dest_x = rand_pct_x * (mw - 2 * BOSS_R) + BOSS_R
-        dest_y = rand_pct_y * (mh - 2 * BOSS_R - BOTTOM_MARGIN) + BOSS_R + BOTTOM_MARGIN
-        bvx = (dest_x - ents.x[BOSS_SLOT]) / BOSS_VEL_TIMEOUT
-        bvy = (dest_y - ents.y[BOSS_SLOT]) / BOSS_VEL_TIMEOUT
+        dest_x = fm.fmuladd32(cfg, rand_pct_x, mw - 2 * BOSS_R, F32(BOSS_R))
+        dest_y = fm.fmuladd32(
+            cfg, rand_pct_y, mh - 2 * BOSS_R - BOTTOM_MARGIN, F32(BOSS_R)
+        ) + F32(BOTTOM_MARGIN)
+        bvx = fm.fdiv(cfg, dest_x - ents.x[BOSS_SLOT], F32(BOSS_VEL_TIMEOUT))
+        bvy = fm.fdiv(cfg, dest_y - ents.y[BOSS_SLOT], F32(BOSS_VEL_TIMEOUT))
         ents = eo.write_slot_masked(ents, BOSS_SLOT, timeout_hit, vx=bvx, vy=bvy)
         swap_now = timeout_hit & (extra["time_to_swap"] <= 0)
         up = extra["shields_are_up"]
@@ -508,13 +522,15 @@ class Bossfight(GameDef):
         state = state.replace(ents=ents, extra=extra)
 
         # boss attacks (bossfight.cpp:392-398): enemy-bullet fan
-        active, theta = self._boss_fire_thetas(state)
+        active, theta = self._boss_fire_thetas(cfg, state)
         bx = state.ents.x[BOSS_SLOT]
         by = state.ents.y[BOSS_SLOT]
         vel = F32(self.boss_bullet_vel)
         for k in range(8):
             b = eo.make_entity(
                 bx, by,
+                # "vel * cos(theta)": the game TU's cos is the C double
+                # function; vel promotes, one narrowing (bossfight.cpp:259)
                 fm.narrow(fm.wide(cfg, vel) * fm.dcos(cfg, theta[k])),
                 fm.narrow(fm.wide(cfg, vel) * fm.dsin(cfg, theta[k])),
                 0.5, 0.5, ENEMY_BULLET,

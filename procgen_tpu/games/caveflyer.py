@@ -32,7 +32,7 @@ CAVEWALL = 8
 EXHAUST = 9
 
 MARKER = 1003
-PI = float(np.pi)
+PI = float(np.float32(np.pi))  # the reference's `const float PI` (cpp-utils.h:12)
 
 
 class CaveFlyer(GameDef):
@@ -109,10 +109,14 @@ class CaveFlyer(GameDef):
         )
 
     def update_agent_velocity(self, cfg, state: EnvState) -> EnvState:
-        # caveflyer.cpp:73-81: thrust + 0.9 decay
+        # caveflyer.cpp:72-79: "vx += mixrate * maxspeed * action_vx * v_scale
+        # * .2" -- the f32 product chain promotes to double at the .2 literal
+        # and narrows once at the += store; then the 0.9 double decay
         ents = state.ents
-        vx = ents.vx[eo.AGENT] + state.mixrate * state.maxspeed * state.action_vx * F32(0.2)
-        vy = ents.vy[eo.AGENT] + state.mixrate * state.maxspeed * state.action_vy * F32(0.2)
+        px = state.mixrate * state.maxspeed * state.action_vx
+        py = state.mixrate * state.maxspeed * state.action_vy
+        vx = fm.narrow(fm.wide(cfg, ents.vx[eo.AGENT]) + fm.wide(cfg, px) * 0.2)
+        vy = fm.narrow(fm.wide(cfg, ents.vy[eo.AGENT]) + fm.wide(cfg, py) * 0.2)
         vx = dmul(cfg, vx, 0.9)
         vy = dmul(cfg, vy, 0.9)
         return state.replace(ents=eo.write_slot(ents, eo.AGENT, vx=vx, vy=vy))
@@ -182,8 +186,9 @@ class CaveFlyer(GameDef):
         ents = state.ents
         theta = -ents.rotation[eo.AGENT] + F32(PI / 2)
         thrust = acc > 0
-        # "x - rx * cos(theta)": cos/sin are double overloads; the chain is
-        # double, narrowed at the Entity ctor floats (caveflyer.cpp:275)
+        # "x - rx * cos(theta)": game TUs see only the C double ::cos (no
+        # <math.h> C++ overloads), so the chain is double, narrowed at the
+        # Entity ctor floats (caveflyer.cpp:275)
         ex = eo.make_entity(
             fm.narrow(fm.wide(cfg, ents.x[eo.AGENT])
                       - fm.wide(cfg, ents.rx[eo.AGENT]) * fm.dcos(cfg, theta)),
@@ -362,6 +367,10 @@ class CaveFlyer(GameDef):
             rx=0.5 * ents.rx, ry=0.5 * ents.rx,
         )
         ents = eo.append_entities_masked(ents, efields, boom, descending=True)
+        # caveflyer.cpp:323 ends its game_step with a SECOND erase_if_needed,
+        # so exploded bullets vanish the same step (the base step's compact
+        # already ran before this sweep)
+        ents = eo.compact(ents, state.main_width, state.main_height)
         return state.replace(ents=ents)
 
 

@@ -174,11 +174,13 @@ class CoinRun(GameDef):
         return jnp.where(is_crate, ~is_horizontal & crate_block, base)
 
     def note_entity_blocks(self, cfg, state, idxs, blocked_mat, is_horizontal):
-        # is_on_crate records the AGENT's own crate support
-        # (coinrun.cpp:187-202); mask to the agent's mover row
-        agent_row = (idxs == eo.AGENT)[:, None]
+        # coinrun.cpp:187-202 sets is_on_crate INSIDE is_blocked_ents, which
+        # consults the AGENT's state but fires for ANY src entity whose
+        # vertical probe overlaps a crate (the check never tests src) --
+        # so do not mask to the agent's mover row; the vertical-only gate
+        # is already inside is_blocked_ents_vals
         on_crate = jnp.any(
-            blocked_mat & agent_row & (state.ents.type == CRATE)[None, :]
+            blocked_mat & (state.ents.type == CRATE)[None, :]
         )
         extra = dict(state.extra)
         extra["is_on_crate"] = extra["is_on_crate"] | on_crate

@@ -30,8 +30,10 @@ OOB_WALL = 10
 
 NUM_ENEMY_THEMES = 7
 ENEMY_VEL = 0.05
-PI = float(np.pi)
-BALL_V_ROT = PI * 0.23
+PI = float(np.float32(np.pi))  # the reference's `const float PI` (cpp-utils.h:12)
+# "const float BALL_V_ROT = PI * 0.23f" (dodgeball.cpp:24): an f32 x f32
+# product, NOT the double-narrowed value (they differ by 1 ulp)
+BALL_V_ROT = float(np.float32(np.float32(PI) * np.float32(0.23)))
 
 MAX_ROOMS = 40  # 1 + 2 per split, <= 16 splits
 

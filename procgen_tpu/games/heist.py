@@ -229,7 +229,7 @@ class HeistGame(GameDef):
             fields["x"] = jnp.where(k_door, (wx + 0.5) * maze_scale, px)
             fields["y"] = jnp.where(k_door, (wy + 0.5) * maze_scale, py)
             fields["rx"] = jnp.where(k_door, r_ent, spawn_r)
-            fields["ry"] = jnp.where(k_door, r_ent, spawn_r / aspect)
+            fields["ry"] = jnp.where(k_door, r_ent, fm.fdiv(cfg, spawn_r, aspect))
             fields["type"] = jnp.where(k_door, LOCKED_DOOR, type_)
             fields["image_type"] = fields["type"]
             fields["image_theme"] = jnp.where(

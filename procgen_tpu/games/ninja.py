@@ -31,7 +31,7 @@ NUM_WALL_THEMES = 3
 
 GRAVITY = 0.2
 AIR_CONTROL = 0.15
-PI = float(np.pi)
+PI = float(np.float32(np.pi))  # the reference's `const float PI` (cpp-utils.h:12)
 
 CHARGE_COLOR = (66.0, 245.0, 135.0)  # ninja.cpp:168
 
@@ -159,8 +159,13 @@ class Ninja(GameDef):
         mixrate_x = jnp.where(
             has_support, state.mixrate, state.mixrate * F32(AIR_CONTROL)
         )
-        vx = (1 - mixrate_x) * ents.vx[eo.AGENT]
-        vx = vx + mixrate_x * state.maxspeed * state.action_vx
+        # "(1 - mixrate_x) * vx + mixrate_x * maxspeed * action_vx"
+        # (ninja.cpp:110): two f32 products and a separate f32 add
+        vx = fm.fadd32(
+            cfg,
+            (1 - mixrate_x) * ents.vx[eo.AGENT],
+            mixrate_x * state.maxspeed * state.action_vx,
+        )
         release = (state.action_vy < 1) & (extra["jump_charge"] > 0)
         vy = jnp.where(
             release, extra["jump_charge"] * state.max_jump, ents.vy[eo.AGENT]
@@ -387,8 +392,9 @@ class Ninja(GameDef):
             F32(0.0),
         )
         theta = jnp.where(ents.is_reflected[eo.AGENT], PI - theta, theta)
-        # "bullet_vel * cos(theta)" with bullet_vel = 1: the double trig
-        # narrows at the Entity ctor floats (ninja.cpp:389-405)
+        # "bullet_vel * cos(theta)" with bullet_vel = 1: game TUs resolve
+        # cos/sin to the C double functions; the double chain narrows at the
+        # Entity ctor floats (ninja.cpp:389-405)
         star = eo.make_entity(
             ents.x[eo.AGENT], ents.y[eo.AGENT],
             fm.narrow(fm.dcos(cfg, theta)), fm.narrow(fm.dsin(cfg, theta)),

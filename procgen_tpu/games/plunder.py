@@ -298,7 +298,7 @@ class Plunder(GameDef):
         ent_x = jnp.where(moves_right, -r_scale, mw + r_scale)
         fields = eo.make_entity(
             ent_x, ent_y, ent_vx, 0.0, r_scale,
-            r_scale / jnp.asarray(self.ship_aspects)[theme], SHIP,
+            fm.fdiv(cfg, r_scale, jnp.asarray(self.ship_aspects)[theme]), SHIP,
         )
         fields["image_type"] = jnp.asarray(SHIP, I32)
         fields["image_theme"] = theme

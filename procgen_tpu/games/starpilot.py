@@ -35,7 +35,7 @@ FINISH_LINE = 9
 SHOOTER_WIN_TIME = 500
 NUM_BASIC_OBJECTS = 9
 NUM_SHIP_THEMES = 7
-PI = float(np.pi)
+PI = float(np.float32(np.pi))  # the reference's `const float PI` (cpp-utils.h:12)
 
 MAX_SPAWNERS = 320  # <= 51 timeline slots x group <= 6
 
@@ -335,14 +335,13 @@ class StarPilot(GameDef):
             rs, tft = R.rs_randint(rs, 20, 30, active=jon & (typ == TURRET))
             fire_time = jnp.where(typ == TURRET, tft, fire_time)
             v_scale = v_scale * F32(V_SCALE)
-            # vx/vy: double cos/sin of the float theta, double product chain,
-            # one narrowing at the float assignment (starpilot.cpp:284-285)
+            # vx/vy: the game TU's cos/sin are the C double functions; the
+            # double chain narrows once at the float store
+            # (starpilot.cpp:284-285)
             vx = fm.narrow(
-                -1.0 * jnp.cos(fm.wide(cfg, theta)) * fm.wide(cfg, v_scale)
+                -1.0 * fm.dcos(cfg, theta) * fm.wide(cfg, v_scale)
             )
-            vy = fm.narrow(
-                jnp.sin(fm.wide(cfg, theta)) * fm.wide(cfg, v_scale)
-            )
+            vy = fm.narrow(fm.dsin(cfg, theta) * fm.wide(cfg, v_scale))
 
             flyer_j = jon & is_flyer_t
             rs, u_sr = R.rs_rand01(rs, active=flyer_j)
@@ -502,7 +501,7 @@ class StarPilot(GameDef):
         theta = jnp.where(state.special_action == 2, F32(PI), F32(0.0))
         v_scale = self.hp_vs[BULLET_PLAYER] * F32(V_SCALE)
         # "cos(theta) * v_scale" etc: double trig chains narrowed at the
-        # float stores (starpilot.cpp:411-413)
+        # float stores (starpilot.cpp:411-414)
         vx = fm.narrow(fm.dcos(cfg, theta) * fm.wide(cfg, v_scale))
         vy = fm.narrow(fm.dsin(cfg, theta) * fm.wide(cfg, v_scale))
         x_off = fm.narrow(

@@ -172,19 +172,45 @@ def make_train_fns(gd, cfg, pack, ppo: PPOConfig, fast_step, render_fn):
         )
         return ts, jax.tree_util.tree_map(lambda m: m.mean(), metrics)
 
-    def train_iter(ts: TrainState, fs, rng):
+    def episode_stats(ep_acc, traj):
+        """Fold the rollout into completed-episode returns.
+
+        ``traj.done[t]`` marks an episode boundary BEFORE obs ``t``, so at a
+        marked step the accumulator holds the finished episode's return."""
+
+        def step(acc, rd):
+            r, d = rd
+            comp_sum = jnp.sum(jnp.where(d, acc, 0.0))
+            comp_cnt = jnp.sum(d)
+            acc = jnp.where(d, 0.0, acc) + r
+            return acc, (comp_sum, comp_cnt)
+
+        ep_acc, (sums, cnts) = jax.lax.scan(
+            step, ep_acc, (traj.reward, traj.done)
+        )
+        n = cnts.sum()
+        return ep_acc, sums.sum() / jnp.maximum(n, 1).astype(sums.dtype), n
+
+    def train_iter(ts: TrainState, fs, rng, ep_acc):
         """One PPO iteration: n_steps rollout + minibatched updates.
-        Returns (ts, fs, rng, metrics dict)."""
+
+        ``ep_acc`` is the (num_envs,) running per-env episode-return
+        accumulator, carried across iterations so episodes spanning a
+        rollout boundary are scored once, in full.
+        Returns (ts, fs, ep_acc, metrics dict)."""
         fs, rng, traj, last_value = rollout(ts, fs, rng)
         adv, ret = gae(traj, last_value, fs.state.done)
         batch = (traj.obs, traj.action, traj.logp, traj.value, adv, ret)
         rng, sub = jax.random.split(rng)
         ts, (l, pg, vf, ent) = update(ts, batch, sub)
+        ep_acc, mean_ep_ret, n_eps = episode_stats(ep_acc, traj)
         metrics = {
             "loss": l, "pg_loss": pg, "v_loss": vf, "entropy": ent,
             "reward_per_step": traj.reward.mean(),
             "episode_ends": traj.done.sum(),
+            "mean_ep_return": mean_ep_ret,
+            "episodes": n_eps,
         }
-        return ts, fs, rng, metrics
+        return ts, fs, ep_acc, metrics
 
     return init_train_state, train_iter, policy

@@ -84,14 +84,15 @@ def main(argv=None):
 
     rng = jax.random.PRNGKey(cfg.rand_seed)
     ts = init_ts(rng)
+    ep_acc = jnp.zeros((args.num_envs,), jnp.float32)
 
-    jit_iter = jax.jit(train_iter, donate_argnums=(1,))
+    jit_iter = jax.jit(train_iter, donate_argnums=(1, 3))
 
     total_steps = 0
     t0 = time.time()
     for it in range(args.iters):
         rng, sub = jax.random.split(rng)
-        ts, fs, _, metrics = jit_iter(ts, fs, sub)
+        ts, fs, ep_acc, metrics = jit_iter(ts, fs, sub, ep_acc)
         total_steps += args.num_envs * args.n_steps
         if (it + 1) % args.log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}

@@ -102,8 +102,13 @@ def test_train_iteration_end_to_end():
     fs = jax.jit(fast_init)(state)
 
     ts = init_ts(jax.random.PRNGKey(0))
-    ts2, fs2, _, metrics = jax.jit(train_iter)(ts, fs, jax.random.PRNGKey(1))
+    ep_acc = jnp.zeros((N,), jnp.float32)
+    ts2, fs2, ep_acc, metrics = jax.jit(train_iter)(
+        ts, fs, jax.random.PRNGKey(1), ep_acc
+    )
     assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["mean_ep_return"]))
+    assert ep_acc.shape == (N,)
     # params actually changed
     leaf0 = jax.tree_util.tree_leaves(ts.params)[0]
     leaf1 = jax.tree_util.tree_leaves(ts2.params)[0]

@@ -151,6 +151,10 @@ def compare_game(game, steps=100, num_envs=2, rand_seed=23, mode="hard",
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
 
+    # The axon TPU plugin overrides JAX_PLATFORMS; the config knob wins.
+    # Parity mode needs the CPU backend: f64 double-rounding emulation plus
+    # pure_callback into the host libm (axon_pjrt has no host callbacks).
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)  # parity_mode f64 sites
     # persistent compile cache: repeated parity runs skip the big compiles
     jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
