@@ -94,17 +94,16 @@ def fmuladd32(cfg, r, scale, off):
     rounding from exact operands), and a mixed-precision mul+add cannot be
     contracted.  Plain f32 on the fast path."""
     r = jnp.asarray(r, F32)
-    prod = r * jnp.asarray(scale, F32)
+    scale = jnp.asarray(scale, F32)
     off = jnp.asarray(off, F32)
     if cfg.parity_mode:
-        # the barrier pins the f32 rounding of the product: without it XLA
-        # hoists the f64 converts through the multiply (measured: bossfight
-        # barrier x came out fused, 1 ulp off the reference)
-        prod = jax.lax.optimization_barrier(prod)
-        return (
-            prod.astype(jnp.float64) + off.astype(jnp.float64)
-        ).astype(F32)
-    return prod + off
+        # LLVM contracts the mul+add inside an XLA:CPU fusion even across
+        # an optimization_barrier and an f64 convert (measured: bossfight
+        # barrier x fused, 1 ulp off); the host-numpy callback performs
+        # the two IEEE f32 roundings the ivybridge reference build does
+        out = jnp.broadcast_arrays(r, scale, off)[0]
+        return _callback(_np_fmuladd, out, r, scale, off)
+    return r * scale + off
 
 
 def fadd32(cfg, a, b):
@@ -115,9 +114,8 @@ def fadd32(cfg, a, b):
     a = jnp.asarray(a, F32)
     b = jnp.asarray(b, F32)
     if cfg.parity_mode:
-        a = jax.lax.optimization_barrier(a)
-        b = jax.lax.optimization_barrier(b)
-        return (a.astype(jnp.float64) + b.astype(jnp.float64)).astype(F32)
+        out = jnp.broadcast_arrays(a, b)[0]
+        return _callback(_np_fadd, out, a, b)
     return a + b
 
 
@@ -207,6 +205,25 @@ def _np_atan2f(y, x):
             ctypes.c_float(float(yf[i])), ctypes.c_float(float(xf[i]))
         )
     return out
+
+
+def _np_fmuladd(r, s, o):
+    import numpy as np
+
+    r, s, o = np.broadcast_arrays(
+        np.asarray(r, np.float32), np.asarray(s, np.float32),
+        np.asarray(o, np.float32),
+    )
+    return (r * s).astype(np.float32) + o
+
+
+def _np_fadd(a, b):
+    import numpy as np
+
+    a, b = np.broadcast_arrays(
+        np.asarray(a, np.float32), np.asarray(b, np.float32)
+    )
+    return a + b
 
 
 def _callback(fn, out_like, *args):
