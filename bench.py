@@ -30,12 +30,10 @@ def bench_game(name: str, num_envs: int, chunk: int, chunks: int, render: bool):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
     from procgen_tpu.config import EnvConfig, DistributionMode
-    from procgen_tpu.engine.game import reset_env
     from procgen_tpu.games import make_game
     from procgen_tpu.parallel.fast import make_fast_fns
     from procgen_tpu.render.pack import RenderPack
     from procgen_tpu.render.fast2 import render_frames2
-    from procgen_tpu.render.renderer import update_view_params
     from procgen_tpu import rng as R
     from procgen_tpu.state import init_state_template
 
@@ -60,10 +58,9 @@ def bench_game(name: str, num_envs: int, chunk: int, chunks: int, render: bool):
         [master.randint_full() for _ in range(num_envs)], jnp.int32
     )
     state = batched.replace(level_seed_rng=R.mt_seed(seeds))
-    state = jax.jit(
-        jax.vmap(lambda s: update_view_params(gd, cfg, reset_env(gd, cfg, s)))
-    )(state)
-    fs = jax.jit(fast_init)(state)
+    # cold start: first episodes flow through the same bucket-sized refill
+    # the step uses, so no full-batch reset program is ever compiled
+    fs = jax.jit(fast_init.cold)(state)
 
     def scan_chunk(carry, _):
         fs, key, checksum = carry

@@ -398,9 +398,15 @@ def basic_step_object(gd, cfg, state: EnvState, idxs, active=None) -> EnvState:
         # First pass moves along x if step_x_first else y; second the other.
         a1x = jnp.where(step_x_first, vx, 0.0)
         a1y = jnp.where(step_x_first, 0.0, vy)
-        a2x = jnp.where(step_x_first, 0.0, vx)
-        a2y = jnp.where(step_x_first, vy, 0.0)
         state, b1 = sub_step(gd, cfg, state, idxs, a1x, a1y, act)
+        # The reference evaluates "obj->vx * pct" AT EACH sub_step CALL
+        # (bag.cpp:634-638), so a first-axis side effect that rewrites the
+        # velocity -- ninja's is_blocked zeroing a star's vx/vy on a wall
+        # probe (ninja.cpp:143-147), or a reflect negation -- must be
+        # visible to the second axis within the SAME sub-step.  Re-read.
+        cur2 = eo.read_slots(state.ents, idxs, ("vx", "vy"))
+        a2x = jnp.where(step_x_first, 0.0, cur2["vx"] * pct)
+        a2y = jnp.where(step_x_first, cur2["vy"] * pct, 0.0)
         state, b2 = sub_step(gd, cfg, state, idxs, a2x, a2y, act)
         block_x = jnp.where(step_x_first, b1, b2)
         block_y = jnp.where(step_x_first, b2, b1)

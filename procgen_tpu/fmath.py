@@ -100,22 +100,26 @@ def fmuladd32(cfg, r, scale, off):
         # LLVM contracts the mul+add inside an XLA:CPU fusion even across
         # an optimization_barrier and an f64 convert (measured: bossfight
         # barrier x fused, 1 ulp off); the host-numpy callback performs
-        # the two IEEE f32 roundings the ivybridge reference build does
-        out = jnp.broadcast_arrays(r, scale, off)[0]
-        return _callback(_np_fmuladd, out, r, scale, off)
+        # the two IEEE f32 roundings the ivybridge reference build does.
+        # Operands are pre-broadcast to one shape so vmap with mixed
+        # batched/unbatched operands stays rank-consistent.
+        r, scale, off = jnp.broadcast_arrays(r, scale, off)
+        return _callback(_np_fmuladd, r, r, scale, off)
     return r * scale + off
 
 
 def fadd32(cfg, a, b):
     """``a + b`` where both operands are f32 products whose roundings must
-    be pinned (no FMA contraction of either multiply into the add).  The
-    barriers stop XLA folding the converts through the products; the f64
-    add narrowed is exactly the IEEE f32 add.  Plain add on the fast path."""
+    be pinned (no FMA contraction of either multiply into the add).  In
+    parity mode the add is routed through a host pure_callback so LLVM
+    cannot contract either operand's multiply into an FMA; the host numpy
+    add is the single IEEE f32 rounding the ivybridge reference build
+    performs.  Plain add on the fast path."""
     a = jnp.asarray(a, F32)
     b = jnp.asarray(b, F32)
     if cfg.parity_mode:
-        out = jnp.broadcast_arrays(a, b)[0]
-        return _callback(_np_fadd, out, a, b)
+        a, b = jnp.broadcast_arrays(a, b)
+        return _callback(_np_fadd, a, a, b)
     return a + b
 
 
@@ -227,13 +231,22 @@ def _np_fadd(a, b):
 
 
 def _callback(fn, out_like, *args):
+    """Host callback with batching that survives vmap over MIXED
+    batched/unbatched operands.
+
+    ``expand_dims`` kept rank differences between batched and unbatched
+    args, which made numpy's right-aligned broadcast fail (e.g. (1,8) vs
+    (2,) in bossfight's parity run — VERDICT r4).  Callers pre-broadcast
+    all operands to one core shape and ``broadcast_all`` then gives every
+    argument identical batch dims, so the host fn always sees equal
+    shapes."""
     import jax
 
     return jax.pure_callback(
         fn,
         jax.ShapeDtypeStruct(jnp.shape(out_like), F32),
         *args,
-        vmap_method="expand_dims",
+        vmap_method="broadcast_all",
     )
 
 
@@ -257,9 +270,9 @@ def atan2f(cfg, y, x):
     """C++ ``atan2(float, float)`` — the FLOAT overload (glibc atan2f)."""
     y = jnp.asarray(y, F32)
     x = jnp.asarray(x, F32)
-    out = jnp.broadcast_arrays(y, x)[0]
+    y, x = jnp.broadcast_arrays(y, x)
     if cfg.parity_mode:
-        return _callback(_np_atan2f, out, y, x)
+        return _callback(_np_atan2f, y, y, x)
     return jnp.arctan2(y, x)
 
 

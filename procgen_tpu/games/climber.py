@@ -173,8 +173,13 @@ class Climber(GameDef):
         mixrate_x = jnp.where(
             has_support, state.mixrate, state.mixrate * F32(AIR_CONTROL)
         )
-        vx = (1 - mixrate_x) * ents.vx[eo.AGENT]
-        vx = vx + mixrate_x * state.maxspeed * state.action_vx
+        # separate f32 roundings for the mul+add chain (climber.cpp:113,
+        # no FMA on ivybridge -- the r4 sweep's 1-ulp vx site)
+        vx = fm.fadd32(
+            cfg,
+            (1 - mixrate_x) * ents.vx[eo.AGENT],
+            mixrate_x * state.maxspeed * state.action_vx,
+        )
         vy = jnp.where(state.action_vy > 0, state.max_jump, ents.vy[eo.AGENT])
         vy = jnp.where(
             ~has_support & (vy > -2), vy - F32(GRAVITY), vy

@@ -212,14 +212,23 @@ class CoinRun(GameDef):
         mixrate_x = jnp.where(
             has_support, state.mixrate, state.mixrate * F32(AIR_CONTROL)
         )
-        vx = (1 - mixrate_x) * ents.vx[eo.AGENT]
-        vx = vx + mixrate_x * state.maxspeed * state.action_vx
+        # "(1 - mixrate_x) * vx + mixrate_x * maxspeed * action_vx" with
+        # SEPARATE f32 roundings (coinrun.cpp:158, no FMA on ivybridge)
+        vx = fm.fadd32(
+            cfg,
+            (1 - mixrate_x) * ents.vx[eo.AGENT],
+            mixrate_x * state.maxspeed * state.action_vx,
+        )
         vx = jnp.where(jnp.abs(vx) < mixrate_x * state.maxspeed, 0.0, vx)
         jumping = state.action_vy > 0
         vy = ents.vy[eo.AGENT]
+        # "vy += .2 * action_vy": the double literal promotes the chain,
+        # narrowed at the float store (coinrun.cpp:165)
         vy = jnp.where(
             jumping, state.max_jump,
-            jnp.where(has_support, vy + F32(0.2) * state.action_vy, vy),
+            jnp.where(
+                has_support, fm.dmuladd(cfg, state.action_vy, 0.2, vy), vy
+            ),
         )
         apply_g = ~(has_support & jumping)
         vy = jnp.where(apply_g, vy - F32(GRAVITY), vy)

@@ -152,13 +152,25 @@ class FruitBot(GameDef):
             np.float32(WALL_RY) * np.float32(2) * np.float32(DOOR_ASPECT_RATIO)
             / np.float32(self.world_w)
         )
-        num_doors = jnp.ceil((pct_door - 2 * lock_pct_w) / door_pct_w)
-        pct = jnp.where(use_door, 2 * lock_pct_w + door_pct_w * num_doors, pct)
+        # IEEE f32 divide + SEPARATE mul/add roundings (fruitbot.cpp:176-177,
+        # no FMA on ivybridge) -- the unpinned "2*lock_pct_w + door_pct_w *
+        # num_doors" contraction was the r4 fruitbot ent.rx regression
+        num_doors = jnp.ceil(
+            fm.fdiv(cfg, pct_door - 2 * lock_pct_w, door_pct_w)
+        )
+        pct = jnp.where(
+            use_door,
+            fm.fmuladd32(cfg, door_pct_w, num_doors, 2 * lock_pct_w),
+            pct,
+        )
 
-        gapw = pct * mw
+        # materialize each product at its single f32 rounding so LLVM cannot
+        # contract it into the subtractions that consume it (w2 = rw-w1-gapw,
+        # fruitbot.cpp:181-182)
+        gapw = fm.fmuladd32(cfg, pct, mw, F32(0.0))
         rs, u_w1 = R.rs_rand01(rs)
-        w1 = u_w1 * (mw - gapw)
-        w2 = mw - w1 - gapw
+        w1 = fm.fmuladd32(cfg, u_w1, fm.fadd32(cfg, mw, -gapw), F32(0.0))
+        w2 = fm.fadd32(cfg, fm.fadd32(cfg, mw, -w1), -gapw)
         ry = curr_h.astype(F32)
 
         state, _ = eo.add_entity_rxy(
@@ -170,8 +182,15 @@ class FruitBot(GameDef):
 
         rs, is_on_right = R.rs_randn(rs, 2, active=use_door)
         iorf = is_on_right.astype(F32)
-        lock_x = w1 + LOCK_RX + iorf * (gapw - 2 * LOCK_RX)
-        door_x = w1 + gapw / 2 - (iorf * 2 - 1) * LOCK_RX
+        # "(w1 + lock_rx) + is_on_right * (gapw - 2*lock_rx)" and
+        # "(w1 + gapw/2) - (is_on_right*2-1) * lock_rx": pin the product-
+        # into-add sites (fruitbot.cpp:189-190)
+        lock_x = fm.fmuladd32(
+            cfg, iorf, gapw - 2 * F32(LOCK_RX), w1 + F32(LOCK_RX)
+        )
+        door_x = fm.fadd32(
+            cfg, w1 + gapw / 2, -((iorf * 2 - 1) * F32(LOCK_RX))
+        )
         state, _ = eo.add_entity_rxy(
             state, door_x, ry, 0.0, 0.0, gapw / 2 - LOCK_RX, WALL_RY,
             LOCKED_DOOR, active=use_door,

@@ -388,11 +388,41 @@ class StarPilot(GameDef):
         )
 
         # compact candidates (active first, creation order preserved), then
-        # sort by spawn_time descending (stable; the reference's std::sort is
-        # unstable for equal keys, a same-tick entity-order tail case)
+        # sort by spawn_time descending.  The reference's std::sort
+        # (starpilot.cpp:340) is UNSTABLE, and spawn_time ties are common
+        # (t + j*5 collisions across groups), so parity mode reproduces
+        # libstdc++'s introsort tie order exactly via a host callback
+        # (utils/cppsort.py, oracle-verified); the fast path keeps the
+        # behaviorally-equivalent stable argsort.
         sp_small = cand
         spawn_key = jnp.where(on_v, sp_small["spawn_time"], -1)
-        order = jnp.argsort(-spawn_key, stable=True)
+        if cfg.parity_mode:
+            from procgen_tpu.utils.cppsort import std_sort_perm
+
+            def host_perm(keys, on):
+                import numpy as np
+
+                keys = np.asarray(keys)
+                on = np.asarray(on)
+                flat_k = keys.reshape(-1, keys.shape[-1])
+                flat_on = on.reshape(-1, on.shape[-1])
+                out = np.empty_like(flat_k, dtype=np.int32)
+                for b in range(flat_k.shape[0]):
+                    act = np.nonzero(flat_on[b])[0]
+                    perm = std_sort_perm(
+                        [int(k) for k in flat_k[b][act]], lambda x, y: x > y
+                    )
+                    rest = np.setdiff1d(np.arange(flat_k.shape[1]), act)
+                    out[b] = np.concatenate([act[perm], rest]).astype(np.int32)
+                return out.reshape(keys.shape)
+
+            order = jax.pure_callback(
+                host_perm,
+                jax.ShapeDtypeStruct(spawn_key.shape, jnp.int32),
+                spawn_key, on_v, vmap_method="broadcast_all",
+            )
+        else:
+            order = jnp.argsort(-spawn_key, stable=True)
         sp = {}
         pad = MAX_SPAWNERS - C
         for f in SPAWNER_FIELDS:
@@ -480,12 +510,16 @@ class StarPilot(GameDef):
         reward = state.reward + n_dead.astype(F32) * F32(ENEMY_REWARD)
         state = state.replace(ents=ents, reward=reward)
 
-        # release today's spawners (starpilot.cpp:396-399); the desc-sorted
-        # table pops from the back, i.e. ascending index from the tail
+        # release today's spawners (starpilot.cpp:396-399): the reference
+        # pops every back entry with spawn_time <= cur_time off the
+        # desc-sorted vector, so the serialized list SHRINKS as spawners
+        # go live (r5 fix: sp_count now decrements; it used to stay fixed,
+        # which kept released spawners in the state bytes)
         release = (
             (jnp.arange(MAX_SPAWNERS) < extra["sp_count"])
-            & (extra["sp_spawn_time"] == state.cur_time)
+            & (extra["sp_spawn_time"] <= state.cur_time)
         )
+        extra["sp_count"] = extra["sp_count"] - jnp.sum(release.astype(I32))
         rel_fields = {
             k: jnp.broadcast_to(v, (MAX_SPAWNERS,))
             for k, v in eo.make_entity(0, 0, 0, 0, 0, 0, FLYER).items()
@@ -530,7 +564,7 @@ class StarPilot(GameDef):
         )
         fin["image_theme"] = fin_theme
         ents, _ = eo.append_entity(state.ents, fin, active=at_end)
-        return state.replace(ents=ents, rng=mt)
+        return state.replace(ents=ents, rng=mt, extra=extra)
 
     def serialize_extra(self, w, s, i):
         # starpilot.cpp:427-435: the spawner list serializes as entities

@@ -189,7 +189,12 @@ def make_train_fns(gd, cfg, pack, ppo: PPOConfig, fast_step, render_fn):
             step, ep_acc, (traj.reward, traj.done)
         )
         n = cnts.sum()
-        return ep_acc, sums.sum() / jnp.maximum(n, 1).astype(sums.dtype), n
+        # NaN (not 0.0) when nothing finished, so dashboards can tell
+        # "no episodes completed this rollout" from "episodes returned 0"
+        mean = jnp.where(
+            n > 0, sums.sum() / jnp.maximum(n, 1).astype(sums.dtype), jnp.nan
+        )
+        return ep_acc, mean, n
 
     def train_iter(ts: TrainState, fs, rng, ep_acc):
         """One PPO iteration: n_steps rollout + minibatched updates.
