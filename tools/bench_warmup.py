@@ -27,20 +27,38 @@ def main():
 
     sys.path.insert(0, REPO)
     from procgen_tpu.games import available_games
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(REPO, "bench.py")
+    )
+    bench_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench_mod)
 
     games = args.games.split(",") if args.games else available_games()
     for g in games:
+        # warm the EXACT (game, num_envs, chunk) tuple bench.py will use:
+        # per-game HBM-fitted sizes override the default
+        n = bench_mod.GAME_NUM_ENVS.get(g, args.num_envs)
         t0 = time.time()
-        r = subprocess.run(
-            [
-                sys.executable, os.path.join(REPO, "bench.py"), "--one", g,
-                "--num-envs", str(args.num_envs), "--chunk", str(args.chunk),
-                "--chunks", "1",
-            ],
-            capture_output=True, text=True, timeout=2400, cwd=REPO,
+        try:
+            r = subprocess.run(
+                [
+                    sys.executable, os.path.join(REPO, "bench.py"), "--one", g,
+                    "--num-envs", str(n), "--chunk", str(args.chunk),
+                    "--chunks", "1",
+                ],
+                capture_output=True, text=True, timeout=2400, cwd=REPO,
+            )
+            status = "ok" if r.returncode == 0 else f"rc={r.returncode}"
+            tail = [l for l in (r.stderr or "").splitlines() if l.strip()][-1:]
+        except subprocess.TimeoutExpired:
+            status, tail = "TIMEOUT", []
+        print(
+            f"# warm {g}: {time.time() - t0:.0f}s n={n} {status} "
+            + (tail[0][:160] if tail else ""),
+            flush=True,
         )
-        status = "ok" if r.returncode == 0 else f"rc={r.returncode}"
-        print(f"# warm {g}: {time.time() - t0:.0f}s {status}", flush=True)
 
 
 if __name__ == "__main__":
