@@ -27,6 +27,14 @@
 
 #include "libenv.h"
 
+#ifdef PIXDUMP_REAL_QT
+// Real-Qt pixel build (qtreal/ ABI-shim headers + libQt5Gui): additionally
+// dumps the reference's actual Qt-rasterized 64x64 rgb observations to
+// <out>.rgb, for tools/pixel_conformance.py.  Needs a QGuiApplication so
+// the raster paint engine initializes; run under QT_QPA_PLATFORM=offscreen.
+#include <QImage>
+#endif
+
 extern "C" {
 LIBENV_API int get_state(libenv_env *handle, int env_idx, char *data, int length);
 LIBENV_API void set_state(libenv_env *handle, int env_idx, char *data, int length);
@@ -89,6 +97,12 @@ int main(int argc, char **argv) {
         return 2;
     }
     std::string game = argv[1];
+#ifdef PIXDUMP_REAL_QT
+    setenv("QT_QPA_PLATFORM", "offscreen", 0);
+    static int qt_argc = 1;
+    static char *qt_argv[] = {argv[0], nullptr};
+    new QGuiApplication(qt_argc, qt_argv);  // leaked intentionally
+#endif
     int num_envs = atoi(argv[2]);
     int steps = atoi(argv[3]);
     int rand_seed = atoi(argv[4]);
@@ -198,8 +212,28 @@ int main(int argc, char **argv) {
             w32(*(int32_t *)info_ptrs[(size_t)i_ls * num_envs + e]);
     };
 
+    int i_rgb = -1, rgb_bytes = 0;
+    FILE *frgb = nullptr;
+#ifdef PIXDUMP_REAL_QT
+    for (int i = 0; i < n_ob; i++)
+        if (!strcmp(ob_t[i].name, "rgb")) { i_rgb = i; rgb_bytes = nbytes(ob_t[i]); }
+    if (i_rgb >= 0) {
+        std::string p = std::string(out_path) + ".rgb";
+        frgb = fopen(p.c_str(), "wb");
+        int32_t hdr[3] = {num_envs, steps + 1, rgb_bytes};
+        fwrite(hdr, 4, 3, frgb);
+    }
+#endif
+    auto dump_rgb = [&]() {
+        if (!frgb)
+            return;
+        for (int e = 0; e < num_envs; e++)
+            fwrite(ob_ptrs[(size_t)i_rgb * num_envs + e], 1, rgb_bytes, frgb);
+    };
+
     dump_states();
     dump_rf();
+    dump_rgb();
 
     // deterministic action stream (recorded in the dump; the Python replay
     // reads it back rather than re-deriving it)
@@ -216,7 +250,10 @@ int main(int argc, char **argv) {
         dump_rf();
         dump_info();
         dump_states();
+        dump_rgb();
     }
+    if (frgb)
+        fclose(frgb);
     fclose(f);
     libenv_close(env);
     fprintf(stderr, "dumped %s x%d envs x%d steps -> %s\n", game.c_str(),

@@ -19,7 +19,13 @@
 // storage, including vtables for QPaintDevice-derived types.
 #pragma once
 
+// the reference sources lean on the Qt headers transitively providing
+// these (same as qtstub/qt_stub.h)
+#include <cstring>
+#include <map>
+#include <memory>
 #include <string>
+#include <vector>
 
 typedef unsigned char uchar;
 typedef unsigned int uint;
@@ -113,12 +119,23 @@ class QString {
   public:
     void *d;
     static QString fromUtf8_helper(const char *, int);  // _ZN7QString15fromUtf8_helperEPKci
-    QString(const QString &);                           // _ZN7QStringC1ERKS_
-    ~QString();                                         // _ZN7QStringD1Ev
-    QString &operator=(const QString &);                // _ZN7QStringaSERKS_
-    inline QString(const char *s) : QString(fromUtf8_helper(s, -1)) {}
-    inline QString(const std::string &s)
-        : QString(fromUtf8_helper(s.c_str(), int(s.size()))) {}
+    // QString's copy ctor and dtor are inline in real Qt (refcount ops on
+    // d) and NOT exported.  This build copies shallow and never derefs:
+    // the net refcount effect of (shallow copy + no-op dtor) is zero, and
+    // the few path strings created here are intentionally leaked.
+    inline QString() : d(nullptr) {}
+    inline QString(const QString &o) : d(o.d) {}
+    inline ~QString() {}
+    inline QString(const char *s) {
+        // the real inline fromUtf8 wrapper strlen's before calling the
+        // helper; the helper itself does NOT accept -1
+        QString t = fromUtf8_helper(s, int(strlen(s)));
+        d = t.d;
+    }
+    inline QString(const std::string &s) {
+        QString t = fromUtf8_helper(s.c_str(), int(s.size()));
+        d = t.d;
+    }
 };
 
 // --- QColor: inline 16-byte value, real setters/getters ------------------
@@ -143,7 +160,10 @@ class QPaintDevice {
   public:
     virtual ~QPaintDevice();
     virtual int devType() const;
-    virtual QPaintEngine *paintEngine() const = 0;
+    // pure in real Qt; declared non-pure here so MY declaration stays
+    // concrete (the real vtable installed by QImage's exported ctor is
+    // what any virtual dispatch actually hits)
+    virtual QPaintEngine *paintEngine() const;
     virtual int metric(int) const;
     virtual void initPainter(class QPainter *) const;
     virtual QPaintDevice *redirected(QPoint *) const;
@@ -245,7 +265,8 @@ class QPainter {
     void setOpacity(qreal);
     void save();                       // _ZN8QPainter4saveEv
     void restore();
-    void translate(qreal, qreal);      // _ZN8QPainter9translateEdd
+    void translate(const QPointF &);   // _ZN8QPainter9translateERK7QPointF
+    inline void translate(qreal dx, qreal dy) { translate(QPointF(dx, dy)); }
     void rotate(qreal);                // _ZN8QPainter6rotateEd
     void setPen(const QPen &);
     void setPen(const QColor &);
@@ -288,7 +309,9 @@ class QPainter {
 // initialize; run with QT_QPA_PLATFORM=offscreen --------------------------
 class QGuiApplication {
   public:
-    char pad_[64];
+    // generous headroom over the real object; allocate on the HEAP (a
+    // stack instance corrupted the caller frame in testing)
+    char pad_[256];
     QGuiApplication(int &, char **, int = 0x060000 /* ApplicationFlags */);
     ~QGuiApplication();
 };

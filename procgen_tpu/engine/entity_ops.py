@@ -251,7 +251,11 @@ def rand_pos(rs, r, lo, hi, active=True):
     # (range - 2r) * u + r + lo rounds left-to-right in f32 (bag.cpp:1107);
     # keeping a second live use of the product stops LLVM contracting the
     # mul+add into an FMA (the reference targets ivybridge: no FMA), and
-    # the barrier stops XLA reassociating the trailing "+ r + lo"
+    # the barrier stops XLA reassociating the trailing "+ r + lo".
+    # The predicate u != 2.0 is ALWAYS true (rand01 returns [0, 1)): the
+    # where exists purely to keep `prod` multi-use.  If a future compiler
+    # value-ranges u or folds the where, the contraction silently returns;
+    # the tests/test_ref_parity.py sweep is the regression gate for that.
     prod = (hi - lo - 2 * r) * u
     pinned = jnp.where(u != F32(2.0), prod + r, prod)
     loose_val = jax.lax.optimization_barrier(pinned) + lo

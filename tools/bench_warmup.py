@@ -41,17 +41,24 @@ def main():
         # per-game HBM-fitted sizes override the default
         n = bench_mod.GAME_NUM_ENVS.get(g, args.num_envs)
         t0 = time.time()
+        os.makedirs(os.path.join(REPO, "bench_logs"), exist_ok=True)
+        logp = os.path.join(REPO, "bench_logs", f"warm_{g}.log")
         try:
-            r = subprocess.run(
-                [
-                    sys.executable, os.path.join(REPO, "bench.py"), "--one", g,
-                    "--num-envs", str(n), "--chunk", str(args.chunk),
-                    "--chunks", "1",
-                ],
-                capture_output=True, text=True, timeout=2400, cwd=REPO,
-            )
+            with open(logp, "w") as lf:
+                r = subprocess.run(
+                    [
+                        sys.executable, os.path.join(REPO, "bench.py"),
+                        "--one", g, "--num-envs", str(n),
+                        "--chunk", str(args.chunk), "--chunks", "1",
+                    ],
+                    stdout=subprocess.PIPE, stderr=lf, text=True,
+                    timeout=2400, cwd=REPO,
+                )
             status = "ok" if r.returncode == 0 else f"rc={r.returncode}"
-            tail = [l for l in (r.stderr or "").splitlines() if l.strip()][-1:]
+            tail = [
+                l for l in open(logp).read().splitlines()
+                if l.strip() and "WARNING" not in l
+            ][-1:]
         except subprocess.TimeoutExpired:
             status, tail = "TIMEOUT", []
         print(
