@@ -104,12 +104,30 @@ def bench_game(name: str, num_envs: int, chunk: int, chunks: int, render: bool):
 
 # Known-good batch size per game (replaces the old retry ladder, which
 # could burn 3 x 1500s per game when a path was broken -- VERDICT r3).
-# Values chosen from measured HBM headroom on the v5e chip: dodgeball's
-# 8192-env program needed 20.06G of 15.75G HBM at compile
-# (bench_logs/dodgeball.log, r4); halving num_envs fits it.
+# Static entries are measured HBM fits on the v5e chip (dodgeball needed
+# 20.06G of 15.75G at 8192 -- r4; caveflyer 34.2G -- r5);
+# tools/bench_warmup.py additionally RECORDS every size it verified into
+# bench_logs/num_envs.json, which overrides these so the bench always runs
+# the exact shapes whose executables are in the warm compile cache.
 GAME_NUM_ENVS: dict[str, int] = {
+    "caveflyer": 2048,
     "dodgeball": 4096,
 }
+
+
+def _load_discovered_sizes():
+    import os
+
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_logs", "num_envs.json")
+    try:
+        with open(p) as f:
+            GAME_NUM_ENVS.update({k: int(v) for k, v in json.load(f).items()})
+    except (OSError, ValueError):
+        pass
+
+
+_load_discovered_sizes()
 
 
 def _first_error_line(stderr: str) -> str:

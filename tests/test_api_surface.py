@@ -83,7 +83,9 @@ def test_interactive_autoplay(tmp_path):
             "--rand-seed", "7", "--steps", "20",
             "--record-dir", str(tmp_path),
         ],
-        capture_output=True, text=True, timeout=600,
+        # generous: a cold jit in the subprocess on a contended 2-core box
+        # has been observed to exceed 600s (r5 full-suite flake)
+        capture_output=True, text=True, timeout=1800,
         env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
         cwd=str(REPO),
     )

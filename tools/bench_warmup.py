@@ -10,6 +10,7 @@ Usage:  python tools/bench_warmup.py [--num-envs 8192] [--chunk 64]
 """
 
 import argparse
+import json
 import os
 import subprocess
 import sys
@@ -36,31 +37,59 @@ def main():
     spec.loader.exec_module(bench_mod)
 
     games = args.games.split(",") if args.games else available_games()
+    os.makedirs(os.path.join(REPO, "bench_logs"), exist_ok=True)
+    sizes_path = os.path.join(REPO, "bench_logs", "num_envs.json")
+    try:
+        with open(sizes_path) as f:
+            sizes = {k: int(v) for k, v in json.load(f).items()}
+    except (OSError, ValueError):
+        sizes = {}
+
+    def run_once(g, n):
+        logp = os.path.join(REPO, "bench_logs", f"warm_{g}.log")
+        with open(logp, "w") as lf:
+            r = subprocess.run(
+                [
+                    sys.executable, os.path.join(REPO, "bench.py"),
+                    "--one", g, "--num-envs", str(n),
+                    "--chunk", str(args.chunk), "--chunks", "1",
+                ],
+                stdout=subprocess.PIPE, stderr=lf, text=True,
+                timeout=2400, cwd=REPO,
+            )
+        log = open(logp).read()
+        return r.returncode, log
+
     for g in games:
         # warm the EXACT (game, num_envs, chunk) tuple bench.py will use:
         # per-game HBM-fitted sizes override the default
-        n = bench_mod.GAME_NUM_ENVS.get(g, args.num_envs)
+        n = sizes.get(g, bench_mod.GAME_NUM_ENVS.get(g, args.num_envs))
         t0 = time.time()
-        os.makedirs(os.path.join(REPO, "bench_logs"), exist_ok=True)
-        logp = os.path.join(REPO, "bench_logs", f"warm_{g}.log")
+        status, tail = "", []
         try:
-            with open(logp, "w") as lf:
-                r = subprocess.run(
-                    [
-                        sys.executable, os.path.join(REPO, "bench.py"),
-                        "--one", g, "--num-envs", str(n),
-                        "--chunk", str(args.chunk), "--chunks", "1",
-                    ],
-                    stdout=subprocess.PIPE, stderr=lf, text=True,
-                    timeout=2400, cwd=REPO,
-                )
-            status = "ok" if r.returncode == 0 else f"rc={r.returncode}"
+            while True:
+                rc, log = run_once(g, n)
+                if rc == 0:
+                    status = "ok"
+                    break
+                # HBM-driven failure: halve and retry (the discovered size
+                # is recorded so bench.py runs the same shape)
+                oom = "Ran out of memory" in log or "RESOURCE_EXHAUSTED" in log
+                if not oom or n <= 1024:
+                    status = f"rc={rc}"
+                    break
+                n //= 2
+                print(f"# warm {g}: OOM, retrying at n={n}", flush=True)
             tail = [
-                l for l in open(logp).read().splitlines()
+                l for l in log.splitlines()
                 if l.strip() and "WARNING" not in l
             ][-1:]
         except subprocess.TimeoutExpired:
-            status, tail = "TIMEOUT", []
+            status = "TIMEOUT"
+        if status == "ok":
+            sizes[g] = n
+            with open(sizes_path, "w") as f:
+                json.dump(sizes, f, indent=1, sort_keys=True)
         print(
             f"# warm {g}: {time.time() - t0:.0f}s n={n} {status} "
             + (tail[0][:160] if tail else ""),
