@@ -208,14 +208,19 @@ def test_dodgeball_enemies_move_and_balls_fly():
         saw_done = saw_done or first.any()
     # enemies patrol: some enemy position moved in some env that didn't reset
     assert saw_enemy_ball or saw_done, "no enemy ball and no episode end"
-    # player balls were thrown at least once somewhere
-    # (they expire after 50 steps, so check any env saw one early)
+    # player balls: the reference's throw gate is
+    # "cur_time - last_fire_time >= 7" with last_fire_time starting at 0
+    # (dodgeball.cpp:386), so the FIRST throw can only land from cur_time 7
+    # on -- hold the throw key past the gate, then expect a live ball
     env2 = ProcgenTPUEnv(num=2, env_name="dodgeball", rand_seed=3, distribution_mode="easy")
-    env2.act(np.full(2, 9))
-    env2.observe()
-    types2 = np.asarray(env2.state.ents.type)
-    alive2 = np.asarray(env2.state.ents.alive)
-    assert ((types2 == 3) & alive2).any(), "throw action spawned no ball"
+    saw_ball = False
+    for _ in range(12):
+        env2.act(np.full(2, 9))
+        env2.observe()
+        types2 = np.asarray(env2.state.ents.type)
+        alive2 = np.asarray(env2.state.ents.alive)
+        saw_ball = saw_ball or ((types2 == 3) & alive2).any()
+    assert saw_ball, "throw action spawned no ball within the fire gate"
 
 
 def test_climber_gravity_and_jump():
