@@ -174,15 +174,23 @@ class GameDef:
 
     def update_agent_velocity(self, cfg, state: EnvState) -> EnvState:
         """bag.cpp:669-679 (+ decay_agent_velocity :681-684)."""
-        from procgen_tpu.fmath import dmul
+        from procgen_tpu.fmath import dmul, fadd32
 
         ents = state.ents
         v_scale = self.get_agent_acceleration_scale(cfg, state)
         mix = state.mixrate
-        vx = (1 - mix) * ents.vx[eo.AGENT]
-        vy = (1 - mix) * ents.vy[eo.AGENT]
-        vx = vx + mix * state.maxspeed * state.action_vx * v_scale
-        vy = vy + mix * state.maxspeed * state.action_vy * v_scale
+        # "vx += mixrate * maxspeed * action_vx * v_scale": the add of the
+        # product chain rounds separately (no FMA on ivybridge) -- the
+        # unpinned contraction was the dodgeball/bossfight agent-position
+        # 1-ulp in the r5 1000-step sweep
+        vx = fadd32(
+            cfg, (1 - mix) * ents.vx[eo.AGENT],
+            mix * state.maxspeed * state.action_vx * v_scale,
+        )
+        vy = fadd32(
+            cfg, (1 - mix) * ents.vy[eo.AGENT],
+            mix * state.maxspeed * state.action_vy * v_scale,
+        )
         vx = dmul(cfg, vx, 0.9)
         vy = dmul(cfg, vy, 0.9)
         return state.replace(ents=eo.write_slot(ents, eo.AGENT, vx=vx, vy=vy))

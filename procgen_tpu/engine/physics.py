@@ -98,8 +98,12 @@ def sub_step(gd, cfg, state: EnvState, idxs, _vx, _vy, active):
     )
     active = jnp.logical_and(active, ~obj["will_erase"])
 
-    nx = obj["x"] + _vx
-    ny = obj["y"] + _vy
+    # "nx = obj->x + _vx" (bag.cpp:274-275): _vx is the vx*pct product from
+    # the caller, so the add must round SEPARATELY from the product (no FMA
+    # on ivybridge) -- the unpinned contraction was the 1-ulp agent-x drift
+    # in bossfight/dodgeball's r5 1000-step sweep
+    nx = fm.fadd32(cfg, obj["x"], _vx)
+    ny = fm.fadd32(cfg, obj["y"], _vy)
     is_horizontal = _vx != 0  # (M,)
 
     # 4 corner probes at +-0.98*r (bag.cpp:276) in one one-hot grid dot

@@ -237,9 +237,16 @@ class Bossfight(GameDef):
         )
 
         def try_pos(rs, active):
+            # reposition_agent (bag.cpp:531-539): "rand01() * (mw - 2*rx)
+            # + rx" with SEPARATE f32 roundings (no FMA) -- the unpinned
+            # contraction here was the r5 1000-step agent-x divergence
             rs, ux = R.rs_rand01(rs, active=active)
             rs, uy = R.rs_rand01(rs, active=active)
-            return rs, ux * (mw - 2 * arx) + arx, uy * (mh - 2 * ary) + ary
+            return (
+                rs,
+                fm.fmuladd32(cfg, ux, mw - 2 * arx, arx),
+                fm.fmuladd32(cfg, uy, mh - 2 * ary, ary),
+            )
 
         rs, ax, ay = try_pos(rs, True)
 
@@ -392,32 +399,50 @@ class Bossfight(GameDef):
         state = jax.lax.fori_loop(0, E, body, state)
 
         # --- phase B: barrier srcs (low slots, processed after bullets in
-        # the reference's descending sweep).  Barriers erase overlapping
-        # bullets/trails; vectorized (no RNG; explosion append order is
-        # ascending target slot, a cosmetic deviation) ---
-        ents = state.ents
-        barrier_src = (ents.type == BARRIER) & ents.alive
-        hit_by_barrier = jnp.any(pair_mask & barrier_src[:, None], axis=0)
-        t = ents.type
-        bullet_t = (t == ENEMY_BULLET) | (t == PLAYER_BULLET)
-        erase_bullet = hit_by_barrier & bullet_t & ~ents.will_erase
-        erase_trail = hit_by_barrier & (t == LASER_TRAIL) & ~ents.will_erase
-        ents = ents.replace(
-            will_erase=ents.will_erase | erase_bullet | erase_trail
-        )
-        E_ = ents.capacity
-        fields = {
-            k: jnp.broadcast_to(v, (E_,)) for k, v in eo.make_entity(
-                0.0, 0.0, 0.0, 0.0, 0.0, 0.0, O.EXPLOSION
-            ).items()
-        }
-        fields = dict(
-            fields, x=ents.x, y=ents.y,
-            vx=jnp.zeros((E_,), F32), vy=jnp.zeros((E_,), F32),
-            rx=0.5 * ents.rx, ry=0.5 * ents.rx,
-        )
-        ents = eo.append_entities_masked(ents, fields, erase_bullet, descending=False)
-        return state.replace(ents=ents)
+        # the reference's descending sweep, bossfight.cpp:173-190).  The
+        # explosion APPEND ORDER is part of the byte contract (VERDICT r5:
+        # the 1000-step sweep caught two same-step explosions swapped), so
+        # this is a per-barrier descending sweep like the reference's,
+        # grouped by barrier slot descending, targets descending within
+        # each, with will_erase threaded live.  Barrier health never drops
+        # in bossfight (the src->health <= 0 branch is dead code: nothing
+        # decrements it), so only the bullet/trail target paths exist.
+        E_ = state.ents.capacity
+
+        def barrier_body(k, st):
+            i = E_ - 1 - k
+            ents = st.ents
+            is_bar = (
+                (ents.type[i] == BARRIER)
+                & ents.alive[i]
+                & ~ents.will_erase[i]
+            )
+            valid = pair_mask[i] & ~ents.will_erase & is_bar
+            t = ents.type
+            bullet_tgt = valid & (
+                (t == ENEMY_BULLET) | (t == PLAYER_BULLET)
+            )
+            trail_tgt = valid & (t == LASER_TRAIL)
+            ents = ents.replace(
+                will_erase=ents.will_erase | bullet_tgt | trail_tgt
+            )
+            fields = {
+                f: jnp.broadcast_to(v, (E_,)) for f, v in eo.make_entity(
+                    0.0, 0.0, 0.0, 0.0, 0.0, 0.0, O.EXPLOSION
+                ).items()
+            }
+            fields = dict(
+                fields, x=ents.x, y=ents.y,
+                vx=jnp.zeros((E_,), F32), vy=jnp.zeros((E_,), F32),
+                rx=0.5 * ents.rx, ry=0.5 * ents.rx,
+            )
+            ents = eo.append_entities_masked(
+                ents, fields, bullet_tgt, descending=True
+            )
+            return st.replace(ents=ents)
+
+        state = jax.lax.fori_loop(0, E_, barrier_body, state)
+        return state
 
     def _boss_fire_thetas(self, cfg, state):
         """One (active, theta) pair per potential bullet slot (<= 8)."""

@@ -290,9 +290,15 @@ class Dodgeball(GameDef):
         ary = state.ents.ry[eo.AGENT]
 
         def try_pos(rs, active):
+            # "rand01() * (mw - 2*rx) + rx" with SEPARATE f32 roundings
+            # (no FMA on ivybridge; r5 1000-step agent-y divergence)
             rs, ux = R.rs_rand01(rs, active=active)
             rs, uy = R.rs_rand01(rs, active=active)
-            return rs, ux * (mw - 2 * arx) + arx, uy * (mh - 2 * ary) + ary
+            return (
+                rs,
+                fm.fmuladd32(cfg, ux, mw - 2 * arx, arx),
+                fm.fmuladd32(cfg, uy, mh - 2 * ary, ary),
+            )
 
         rs, ax, ay = try_pos(rs, True)
 

@@ -467,8 +467,12 @@ class StarPilot(GameDef):
         num = jnp.asarray(self.hp_vs)[
             jnp.clip(btype, 0, NUM_BASIC_OBJECTS - 1)
         ] * F32(V_SCALE)
+        # "b_vx*b_vx + b_vy*b_vy" rounds each square separately before the
+        # add (no FMA on ivybridge) -- the unpinned contraction was a 1-ulp
+        # bullet-velocity divergence in the r5 1000-step sweep
         bvs = fm.narrow(
-            fm.wide(cfg, num) / fm.dsqrt(cfg, b_vx * b_vx + b_vy * b_vy)
+            fm.wide(cfg, num)
+            / fm.dsqrt(cfg, fm.fadd32(cfg, b_vx * b_vx, b_vy * b_vy))
         )
         bfields = {
             k: jnp.broadcast_to(v, (E,))

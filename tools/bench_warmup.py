@@ -73,8 +73,15 @@ def main():
                     status = "ok"
                     break
                 # HBM-driven failure: halve and retry (the discovered size
-                # is recorded so bench.py runs the same shape)
-                oom = "Ran out of memory" in log or "RESOURCE_EXHAUSTED" in log
+                # is recorded so bench.py runs the same shape).  "TPU device
+                # error" kernel faults have also only been seen at the
+                # largest shapes (jumper/leaper/starpilot r5) -- treat as
+                # size-driven and back off the same way.
+                oom = (
+                    "Ran out of memory" in log
+                    or "RESOURCE_EXHAUSTED" in log
+                    or "TPU device error" in log
+                )
                 if not oom or n <= 1024:
                     status = f"rc={rc}"
                     break
