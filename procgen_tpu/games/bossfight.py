@@ -578,8 +578,14 @@ class Bossfight(GameDef):
         damaged = extra["damaged_until_time"] >= state.cur_time
         spawn_expl = damaged & (state.cur_time % 3 == 0)
         ents = state.ents
-        pos_x = ents.x[BOSS_SLOT] + (2 * rand_pct_x - 1) * ents.rx[BOSS_SLOT]
-        pos_y = ents.y[BOSS_SLOT] + (2 * rand_pct_y - 1) * ents.ry[BOSS_SLOT]
+        # "boss->x + (2*rand_pct_x - 1) * boss->rx" rounds the product and
+        # add separately (bossfight.cpp:310-311, no FMA)
+        pos_x = fm.fmuladd32(
+            cfg, 2 * rand_pct_x - 1, ents.rx[BOSS_SLOT], ents.x[BOSS_SLOT]
+        )
+        pos_y = fm.fmuladd32(
+            cfg, 2 * rand_pct_y - 1, ents.ry[BOSS_SLOT], ents.y[BOSS_SLOT]
+        )
         expl = eo.make_entity(pos_x, pos_y, 0.0, 0.0, 0.75, 0.75, O.EXPLOSION)
         ents, _ = eo.append_entity(ents, expl, active=spawn_expl)
 
